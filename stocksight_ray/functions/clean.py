@@ -1,0 +1,65 @@
+"""Text cleaning kernels — semantics of the reference's clean_text /
+clean_text_sentiment (/root/reference/sentiment.py:412-428), quirks included:
+
+* ``&.*?;`` strips non-greedily from any ``&`` to the next ``;`` (can eat
+  legitimate text between them);
+* the literal substring ``"RT"`` is removed anywhere, even word-internal;
+* ``…`` (U+2026) removed; ``\\n`` → space; ``https?\\S+`` and ``<.*?>`` stripped.
+
+Both row kernels and vectorized pyarrow batch kernels are provided; the
+vectorized path uses RE2 via pyarrow.compute (zero-copy Arrow in/out).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_URL_RE = re.compile(r"https?\S+")
+_ENTITY_RE = re.compile(r"&.*?;")
+_TAG_RE = re.compile(r"<.*?>")
+_HASH_MENTION_RE = re.compile(r"[#|@]\S+")
+
+
+def clean_text(text: str) -> str:
+    """Row kernel. Reference: /root/reference/sentiment.py:412-421."""
+    text = text.replace("\n", " ")
+    text = _URL_RE.sub("", text)
+    text = _ENTITY_RE.sub("", text)
+    text = _TAG_RE.sub("", text)
+    text = text.replace("RT", "")
+    text = text.replace("…", "")
+    return text.strip()
+
+
+def clean_text_sentiment(text: str) -> str:
+    """Row kernel. Reference: /root/reference/sentiment.py:424-428.
+    Note the char class ``[#|@]`` also strips ``|``-prefixed runs — a
+    reference quirk preserved deliberately."""
+    return _HASH_MENTION_RE.sub("", text).strip()
+
+
+def clean_text_array(arr: pa.Array) -> pa.Array:
+    """Vectorized clean_text over a string array (RE2 kernels).
+
+    RE2 lacks backreferences but all patterns here are plain; ``.*?``
+    non-greedy is supported.  Null-safe: nulls propagate."""
+    arr = pc.replace_substring(arr, "\n", " ")
+    arr = pc.replace_substring_regex(arr, r"https?\S+", "")
+    arr = pc.replace_substring_regex(arr, r"&.*?;", "")
+    arr = pc.replace_substring_regex(arr, r"<.*?>", "")
+    arr = pc.replace_substring(arr, "RT", "")
+    arr = pc.replace_substring(arr, "…", "")
+    return pc.utf8_trim_whitespace(arr)
+
+
+def clean_text_sentiment_array(arr: pa.Array) -> pa.Array:
+    arr = pc.replace_substring_regex(arr, r"[#|@]\S+", "")
+    return pc.utf8_trim_whitespace(arr)
+
+
+def clean_batch(batch: pa.Table, col: str = "text", out: str = "text_clean") -> pa.Table:
+    """map_batches kernel: adds a cleaned column (stateless, vectorized)."""
+    return batch.append_column(out, clean_text_array(batch[col]))

@@ -1,0 +1,73 @@
+"""Golden tests for clean kernels (reference quirks preserved:
+/root/reference/sentiment.py:412-428) and the NLTK-style token pipeline
+(/root/reference/sentiment.py:130-144)."""
+
+import pyarrow as pa
+
+from stocksight_ray.functions.clean import (
+    clean_text,
+    clean_text_array,
+    clean_text_sentiment,
+    clean_text_sentiment_array,
+)
+from stocksight_ray.functions.tokenize import nltk_style_tokens, prefilter
+
+CLEAN_CASES = [
+    ("hello\nworld", "hello world"),
+    ("go https://x.co/abc now", "go  now"),
+    # &.*?; over-strips text between & and the next ;
+    ("a &amp; b", "a  b"),
+    ("bread & butter; and more", "bread  and more"),
+    ("<b>bold</b> text", "bold text"),
+    # literal RT removed anywhere, even word-internal
+    ("RT @user hi", "@user hi"),
+    ("staRTed", "staed"),
+    ("wait… what", "wait what"),
+    ("  padded  ", "padded"),
+    ("", ""),
+]
+
+
+def test_clean_text_golden():
+    for raw, want in CLEAN_CASES:
+        assert clean_text(raw) == want, raw
+
+
+def test_clean_text_vectorized_matches_row_kernel():
+    raws = [r for r, _ in CLEAN_CASES]
+    got = clean_text_array(pa.array(raws)).to_pylist()
+    assert got == [clean_text(r) for r in raws]
+
+
+SENT_CASES = [
+    ("love #stocks and @user today", "love  and  today"),
+    ("|pipe quirk", "quirk"),  # [#|@] class strips |-prefixed runs too
+    ("plain words", "plain words"),
+]
+
+
+def test_clean_sentiment_golden():
+    for raw, want in SENT_CASES:
+        assert clean_text_sentiment(raw) == want, raw
+    raws = [r for r, _ in SENT_CASES]
+    got = clean_text_sentiment_array(pa.array(raws)).to_pylist()
+    assert got == [w for _, w in SENT_CASES]
+
+
+def test_prefilter_removes_reference_charset():
+    assert prefilter("a%b|c$d.e,f!g:h@i(j)k#l+m?n-o") == "abcdefghijklmno"
+    assert prefilter("``quoted''") == "quoted"
+
+
+def test_token_pipeline_golden():
+    # lowercase, punctuation stripped, isalpha only, stopwords out, len>=3
+    text = "The Markets are falling! $TSLA dropped 5% today - so bad, really..."
+    assert nltk_style_tokens(text) == ["markets", "falling", "tsla", "dropped", "today", "bad", "really"]
+    assert nltk_style_tokens("a an the is") == []
+    assert nltk_style_tokens("ab cd efg") == ["efg"]
+    assert nltk_style_tokens("price123 ok42x") == []  # non-alpha after strip
+
+
+def test_tokens_deterministic():
+    text = "Stocks surge as markets rally; investors are happy!"
+    assert nltk_style_tokens(text) == nltk_style_tokens(text)

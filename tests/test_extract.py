@@ -1,0 +1,61 @@
+"""HTML → text extraction: the byte-identical per-url invariant
+(BASELINE.json input_hint; reference /root/reference/sentiment.py:385-409)."""
+
+from stocksight_ray.functions.htmlx import (
+    extract_headlines,
+    extract_page_text,
+    extract_paragraphs,
+    parse_html,
+)
+from stocksight_ray.webtext import generate_rows
+
+
+def test_byte_identical_on_corpus():
+    rows = generate_rows(0, 1000, seed=42)
+    for html, expected in zip(rows["html"], rows["text"]):
+        assert extract_page_text(html) == expected
+
+
+def test_paragraph_cap():
+    html = "".join(f"<p>para {i}.</p>" for i in range(15))
+    assert extract_paragraphs(html) == [f"para {i}." for i in range(10)]
+
+
+def test_nested_markup_skipped():
+    # bs4 .string is None for multi-child <p>
+    assert extract_paragraphs("<p>a <b>b</b> c</p><p>kept.</p>") == ["kept."]
+
+
+def test_single_child_tag_recursive_string():
+    # bs4 .string recurses through a single child tag
+    assert extract_paragraphs("<p><em>inner text</em></p>") == ["inner text"]
+
+
+def test_empty_paragraph_skipped():
+    assert extract_paragraphs("<p></p><p>x</p>") == ["x"]
+
+
+def test_entities_unescaped():
+    assert extract_paragraphs("<p>A &amp; B</p>") == ["A & B"]
+
+
+def test_malformed_never_raises():
+    for bad in [b"", b"<p>unclosed", b"<html><body><p>a</p><div class=\"x", b"</p></div>", None]:
+        extract_page_text(bad)  # must not raise
+    assert extract_paragraphs("<p>unclosed tail") == ["unclosed tail"]
+
+
+def test_headline_next4_rule():
+    html = (
+        '<h3 class="Mb(5px)"><a href="/news/1.html">'
+        "<u class=\"x\"><b>Big Headline</b></u></a></h3>"
+    )
+    assert extract_headlines(html) == ["Big Headline"]
+    # wrong shape (only 3 successors to the text) → no headline
+    assert extract_headlines("<h3><a><b>t</b></a></h3>") == []
+
+
+def test_void_elements_no_children():
+    root = parse_html("<p>a<br>b</p>")
+    # br is void: 'a', <br>, 'b' are three siblings under <p> → .string None
+    assert extract_paragraphs("<p>a<br>b</p>") == []

@@ -202,4 +202,39 @@ def basic_analyzer(text: str) -> List[str]:
     return _BASIC_TOKEN_RE.findall(text.lower())
 
 
+_MISS = object()
+
+
+def make_cached_english_analyzer(max_cache: int = 1_000_000):
+    """english_analyzer with a per-instance raw-token → term memo.
+
+    Identical output to english_analyzer (same chain), but Porter stemming is
+    computed once per distinct surface token — with a Zipfian vocabulary the
+    hit rate is ~99%.  Intended as actor-pool state (one cache per actor,
+    built in __init__), NOT a module-level global."""
+    cache: dict = {}
+
+    def analyze(text: str):
+        out = []
+        for tok in _STD_TOKEN_RE.findall(text):
+            r = cache.get(tok, _MISS)
+            if r is _MISS:
+                t = tok[:-2] if tok.endswith(("'s", "'S")) else tok
+                t = t.lower()
+                r = None if (not t or t in LUCENE_ENGLISH_STOPWORDS) else porter_stem(t)
+                if len(cache) < max_cache:
+                    cache[tok] = r
+            if r is not None:
+                out.append(r)
+        return out
+
+    return analyze
+
+
+def make_cached_analyzer(name: str):
+    if name == "english":
+        return make_cached_english_analyzer()
+    return ANALYZERS[name]
+
+
 ANALYZERS = {"english": english_analyzer, "basic": basic_analyzer}

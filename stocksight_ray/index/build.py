@@ -1,0 +1,332 @@
+"""Distributed inverted-index build (SPIMI) — SURVEY.md §7 step 4.
+
+Replaces the ES/Lucene segment build the reference delegates to
+``es.index(...)`` (/root/reference/sentiment.py:227-240) with an explicit
+Ray Data pipeline:
+
+    docs (id, text)
+      → map_batches(TokenizeStage, actor pool)           # analyzer terms
+      → map_batches(spimi_partial)                       # local invert per
+            batch → rows (part, term, salt, df, cf, ids/tfs/dls varbyte)
+      → groupby([part, salt]).map_groups(merge)          # shuffle 1: merge
+            partials per term within a salt range → encoded block runs
+      → groupby(part).map_groups(write_partition)        # shuffle 2 (small,
+            compressed): assemble per-partition term files, atomic write
+
+Skew handling: ``salt = doc_id // salt_range`` splits a head term's postings
+into bounded docid ranges, so no merge task ever holds more than
+``salt_range`` docs of one term; stage-2 outputs are block runs with absolute
+first-docids, so partition assembly concatenates them WITHOUT re-encoding
+(codec.concat_runs).  ``part = crc32(term) % num_partitions`` is the
+query-side routing key.
+
+Scale notes: the docs input is streamed (never materialized); tokenization is
+re-run for norms vs partials rather than pinning a tokens column in the
+object store — CPU trade chosen over a 100-TB materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import codec
+
+DEFAULT_NUM_PARTITIONS = 64
+DEFAULT_SALT_RANGE = 1 << 18  # docids per salt bucket (bounds merge memory)
+
+
+def term_partition(term: str, num_partitions: int) -> int:
+    """Deterministic, process-stable term → partition routing (crc32;
+    python hash() is salted per process and must not be used)."""
+    return zlib.crc32(term.encode("utf-8")) % num_partitions
+
+
+class TokenizeStage:
+    """Actor-pool stage: text → analyzer terms + doc_len.
+
+    Analyzer state (stopword sets, stem memo cache) is built once per actor
+    in __init__ — the reference instead re-enters NLTK per record
+    (/root/reference/sentiment.py:130-144)."""
+
+    def __init__(self, analyzer: str = "english", text_col: str = "text", id_col: str = "doc_id"):
+        from ..functions.analyzer import make_cached_analyzer
+
+        self._analyze = make_cached_analyzer(analyzer)
+        self._text_col = text_col
+        self._id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self._text_col].to_pylist()
+        tokens = [self._analyze(t) if t else [] for t in texts]
+        doc_len = np.fromiter((len(t) for t in tokens), dtype=np.int32, count=len(tokens))
+        return pa.table(
+            {
+                "doc_id": batch[self._id_col].cast(pa.int64()),
+                "tokens": pa.array(tokens, pa.list_(pa.string())),
+                "doc_len": pa.array(doc_len),
+            }
+        )
+
+
+def _pack(arr: np.ndarray, delta: bool) -> bytes:
+    v = arr.astype(np.uint64)
+    if delta:
+        # first element stays absolute: diff with prepend=0 → [v0, v1-v0, ...]
+        v = np.diff(v, prepend=np.uint64(0))
+    return codec.varbyte_encode(v)
+
+
+def _unpack(buf: bytes, delta: bool) -> np.ndarray:
+    v = codec.varbyte_decode(buf)
+    if delta:
+        v = np.cumsum(v.astype(np.int64))
+        return v
+    return v.astype(np.int64)
+
+
+def make_spimi_partial(num_partitions: int, salt_range: int):
+    """Stateless map_batches kernel: local invert of one batch of
+    (doc_id, tokens, doc_len) into partial-posting rows."""
+
+    def spimi_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = batch["tokens"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        lengths = pa.compute.list_value_length(tok).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths).astype(np.int64)
+        flat_terms = tok.flatten().to_pandas()
+        flat_ids = np.repeat(ids, lengths)
+        flat_dls = np.repeat(dls, lengths)
+
+        out = {
+            "part": [], "term": [], "salt": [], "df": [], "cf": [],
+            "ids_b": [], "tfs_b": [], "dls_b": [],
+        }
+        if len(flat_terms) == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "term": pa.array([], pa.string()),
+                    "salt": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "cf": pa.array([], pa.int64()),
+                    "ids_b": pa.array([], pa.binary()),
+                    "tfs_b": pa.array([], pa.binary()),
+                    "dls_b": pa.array([], pa.binary()),
+                }
+            )
+
+        df = pd.DataFrame({"term": flat_terms, "doc_id": flat_ids, "dl": flat_dls})
+        tf = (
+            df.groupby(["term", "doc_id"], sort=True)
+            .agg(tf=("dl", "size"), dl=("dl", "first"))
+            .reset_index()
+        )
+        tf["salt"] = tf["doc_id"].to_numpy() // salt_range
+        # sorted by (term, doc_id) → (term, salt) groups are contiguous
+        terms = tf["term"].to_numpy()
+        salts = tf["salt"].to_numpy()
+        doc_arr = tf["doc_id"].to_numpy()
+        tf_arr = tf["tf"].to_numpy()
+        dl_arr = tf["dl"].to_numpy()
+        boundary = np.flatnonzero(
+            np.concatenate(([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])))
+        )
+        ends = np.append(boundary[1:], terms.size)
+        for lo, hi in zip(boundary, ends):
+            t = terms[lo]
+            out["part"].append(term_partition(t, num_partitions))
+            out["term"].append(t)
+            out["salt"].append(int(salts[lo]))
+            out["df"].append(hi - lo)
+            out["cf"].append(int(tf_arr[lo:hi].sum()))
+            out["ids_b"].append(_pack(doc_arr[lo:hi], delta=True))
+            out["tfs_b"].append(_pack(tf_arr[lo:hi], delta=False))
+            out["dls_b"].append(_pack(dl_arr[lo:hi], delta=False))
+        return pa.table(
+            {
+                "part": pa.array(out["part"], pa.int32()),
+                "term": pa.array(out["term"], pa.string()),
+                "salt": pa.array(out["salt"], pa.int64()),
+                "df": pa.array(out["df"], pa.int64()),
+                "cf": pa.array(out["cf"], pa.int64()),
+                "ids_b": pa.array(out["ids_b"], pa.binary()),
+                "tfs_b": pa.array(out["tfs_b"], pa.binary()),
+                "dls_b": pa.array(out["dls_b"], pa.binary()),
+            }
+        )
+
+    return spimi_partial
+
+
+def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-(part, salt) merge: for each term, merge-sort its partial postings
+    and encode into block runs."""
+    rows = {"part": [], "term": [], "salt": [], "df": [], "cf": [], "meta": [], "payload": []}
+    part = int(group["part"].iloc[0])
+    salt = int(group["salt"].iloc[0])
+    for term, g in group.groupby("term", sort=True):
+        ids = np.concatenate([_unpack(b, True) for b in g["ids_b"]])
+        tfs = np.concatenate([_unpack(b, False) for b in g["tfs_b"]])
+        dls = np.concatenate([_unpack(b, False) for b in g["dls_b"]])
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        meta_b, payload = codec.encode_postings(ids, tfs, dls)
+        rows["part"].append(part)
+        rows["term"].append(term)
+        rows["salt"].append(salt)
+        rows["df"].append(ids.size)
+        rows["cf"].append(int(tfs.sum()))
+        rows["meta"].append(meta_b)
+        rows["payload"].append(payload)
+    return pd.DataFrame(rows)
+
+
+def make_partition_writer(out_dir: str):
+    """Per-partition assembly + atomic write. Returns a manifest row."""
+
+    def write_partition(group: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        part = int(group["part"].iloc[0])
+        group = group.sort_values(["term", "salt"], kind="stable")
+        terms: List[str] = []
+        dfs: List[int] = []
+        cfs: List[int] = []
+        metas: List[bytes] = []
+        payloads: List[bytes] = []
+        for term, g in group.groupby("term", sort=True):
+            runs = list(zip(g["meta"], g["payload"]))
+            meta_b, payload = codec.concat_runs(runs)
+            terms.append(term)
+            dfs.append(int(g["df"].sum()))
+            cfs.append(int(g["cf"].sum()))
+            metas.append(meta_b)
+            payloads.append(payload)
+        tbl = pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "cf": pa.array(cfs, pa.int64()),
+                "meta": pa.array(metas, pa.binary()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+        os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
+        final = os.path.join(out_dir, "index", f"part-{part:05d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)  # atomic per-partition checkpoint
+        return pd.DataFrame(
+            {
+                "part": [part],
+                "n_terms": [len(terms)],
+                "n_postings": [int(sum(dfs))],
+                "bytes": [os.path.getsize(final)],
+            }
+        )
+
+    return write_partition
+
+
+def build_index(
+    docs,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "english",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_range: int = DEFAULT_SALT_RANGE,
+    tokenize_concurrency: Optional[int] = None,
+    batch_size: int = 1024,
+    extra_manifest: Optional[dict] = None,
+) -> dict:
+    """Build a full index layout under ``out_dir`` from a Dataset of
+    (id_col:int64, text_col:string).  Returns the manifest dict.
+
+    Layout:
+        out_dir/norms/*.parquet      (doc_id, doc_len)
+        out_dir/index/part-*.parquet (term, df, cf, meta, payload)
+        out_dir/manifest.json        N, avgdl, analyzer, bm25 params, lineage
+    """
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+
+    if tokenize_concurrency is None:
+        import ray
+
+        # leave slack so read / shuffle / write stages aren't starved
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        tokenize_concurrency = max(2, cpus - 2)
+    tokenize_kwargs = dict(
+        fn_constructor_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=tokenize_concurrency,
+    )
+
+    # Pass 1 (streaming): norms table — the query-side doc_len store.
+    docs.map_batches(TokenizeStage, **tokenize_kwargs).select_columns(
+        ["doc_id", "doc_len"]
+    ).write_parquet(os.path.join(out_dir, "norms"))
+
+    # Corpus stats from the written norms (cheap columnar scan, no shuffle).
+    import pyarrow.dataset as pads
+
+    norms = pads.dataset(os.path.join(out_dir, "norms"))
+    n_docs = norms.count_rows()
+    total_len = 0
+    for frag_batch in norms.to_batches(columns=["doc_len"]):
+        total_len += int(pa.compute.sum(frag_batch["doc_len"]).as_py() or 0)
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+
+    # Pass 2 (streaming + 2 shuffles): postings.
+    partials = docs.map_batches(TokenizeStage, **tokenize_kwargs).map_batches(
+        make_spimi_partial(num_partitions, salt_range),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    merged = partials.groupby(["part", "salt"]).map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+    manifest_rows = (
+        merged.groupby("part")
+        .map_groups(make_partition_writer(out_dir), batch_format="pandas")
+        .to_pandas()
+    )
+
+    manifest = {
+        "format_version": 1,
+        "num_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "total_terms": int(total_len),
+        "analyzer": analyzer,
+        "k1": codec.K1,
+        "b": codec.B,
+        "block_size": codec.BLOCK_SIZE,
+        "num_partitions": num_partitions,
+        "salt_range": salt_range,
+        "partitions": sorted(
+            manifest_rows.to_dict("records"), key=lambda r: r["part"]
+        ),
+        "build_wall_sec": round(time.time() - t0, 3),
+        "docs_per_sec": round(n_docs / max(time.time() - t0, 1e-9), 1),
+    }
+    if extra_manifest:
+        manifest.update(extra_manifest)
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=int)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest

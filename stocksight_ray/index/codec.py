@@ -77,6 +77,11 @@ def tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float = K1, b: f
 
 
 # Block metadata layout: structured array persisted as raw bytes.
+# (max_tf, min_dl) rather than a precomputed max tf-norm: tf_norm is
+# increasing in tf and decreasing in dl, so tf_norm(max_tf, min_dl, avgdl) is
+# a valid per-block upper bound for ANY avgdl — encoding stays independent of
+# global corpus stats (single-pass SPIMI; avgdl is only fixed at manifest
+# time).
 _META_DTYPE = np.dtype(
     [
         ("first", "<i8"),
@@ -85,13 +90,19 @@ _META_DTYPE = np.dtype(
         ("doc_off", "<i8"),   # payload offset of docid-delta section
         ("tf_off", "<i8"),    # payload offset of tf section
         ("end_off", "<i8"),   # payload end of this block
-        ("max_tfnorm", "<f4"),
+        ("max_tf", "<i4"),
+        ("min_dl", "<i4"),
     ]
 )
 
 
+def block_upper_bounds(meta: np.ndarray, avgdl: float, k1: float = K1, b: float = B) -> np.ndarray:
+    """Per-block tf-norm upper bounds from (max_tf, min_dl) metadata."""
+    return tf_norm(meta["max_tf"], meta["min_dl"], avgdl, k1, b)
+
+
 def encode_postings(
-    docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
+    docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
 ) -> Tuple[bytes, bytes]:
     """Encode docID-sorted postings → (meta_bytes, payload_bytes)."""
     n = docids.size
@@ -100,7 +111,6 @@ def encode_postings(
     meta = np.zeros(nblocks, dtype=_META_DTYPE)
     payload_parts: List[bytes] = []
     off = 0
-    tfnorms = tf_norm(tfs, dls, avgdl)
     for bi in range(nblocks):
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
         ids = docids[lo:hi].astype(np.uint64)
@@ -113,7 +123,8 @@ def encode_postings(
         meta[bi]["doc_off"] = off
         meta[bi]["tf_off"] = off + len(doc_bytes)
         meta[bi]["end_off"] = off + len(doc_bytes) + len(tf_bytes)
-        meta[bi]["max_tfnorm"] = float(tfnorms[lo:hi].max())
+        meta[bi]["max_tf"] = int(tfs[lo:hi].max())
+        meta[bi]["min_dl"] = int(dls[lo:hi].min())
         payload_parts.append(doc_bytes)
         payload_parts.append(tf_bytes)
         off += len(doc_bytes) + len(tf_bytes)

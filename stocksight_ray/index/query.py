@@ -1,0 +1,290 @@
+"""BM25 top-k query engine over the built index (SURVEY.md §7 step 5).
+
+Replaces the ES/Lucene query side the reference reaches through Kibana
+(/root/reference/export.json ``stocksight_savesearch``): Okapi BM25
+(k1=1.2, b=0.75 — the ES 5.x defaults) with Lucene's idf
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm    = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    score(d,q) = Σ_t idf(t) · tf_norm(t, d)
+
+Two scorers, required to agree exactly:
+  * ``search(..., method="exhaustive")`` — term-at-a-time accumulation into a
+    dense score array (obviously correct; the oracle baseline);
+  * ``search(..., method="wand")``       — document-at-a-time Block-Max WAND
+    over the compressed postings (the scale path: skips blocks whose upper
+    bound cannot reach the current top-k threshold).
+
+Ties broken by doc_id ascending (explicit, so rank-identity is well-defined).
+Duplicate query terms are deduplicated (one contribution per distinct term).
+
+The engine is a library object (loadable inside query-serving actors); it
+memory-maps nothing mutable — index partitions are immutable parquet files
+loaded lazily per ``part = crc32(term) % P`` and cached.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.analyzer import ANALYZERS
+from . import codec
+from .build import term_partition
+
+
+class _TermPostings:
+    __slots__ = ("df", "cf", "meta", "payload")
+
+    def __init__(self, df: int, cf: int, meta: np.ndarray, payload: bytes):
+        self.df = df
+        self.cf = cf
+        self.meta = meta  # decoded block-meta structured array
+        self.payload = payload
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.index_dir = index_dir
+        self.N = int(self.manifest["num_docs"])
+        self.avgdl = float(self.manifest["avgdl"]) or 1.0
+        self.k1 = float(self.manifest["k1"])
+        self.b = float(self.manifest["b"])
+        self.num_partitions = int(self.manifest["num_partitions"])
+        self._analyze = ANALYZERS[self.manifest["analyzer"]]
+        self._parts: Dict[int, Dict[str, _TermPostings]] = {}
+
+        # doc_len store: doc_id-indexed dense array when ids are dense,
+        # else (sorted ids, lens) for searchsorted lookup.
+        import pyarrow.dataset as pads
+
+        norms = pads.dataset(os.path.join(index_dir, "norms")).to_table()
+        ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = norms["doc_len"].to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.argsort(ids, kind="stable")
+        self._norm_ids = ids[order]
+        self._norm_lens = lens[order]
+        self._dense = bool(
+            self._norm_ids.size
+            and self._norm_ids[0] == 0
+            and self._norm_ids[-1] == self._norm_ids.size - 1
+        )
+
+    # ------------------------------------------------------------------
+    def doc_lens(self, docids: np.ndarray) -> np.ndarray:
+        if self._dense:
+            return self._norm_lens[docids]
+        idx = np.searchsorted(self._norm_ids, docids)
+        return self._norm_lens[idx]
+
+    def _load_part(self, part: int) -> Dict[str, _TermPostings]:
+        cached = self._parts.get(part)
+        if cached is not None:
+            return cached
+        path = os.path.join(self.index_dir, "index", f"part-{part:05d}.parquet")
+        table: Dict[str, _TermPostings] = {}
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            terms = t["term"].to_pylist()
+            dfs = t["df"].to_pylist()
+            cfs = t["cf"].to_pylist()
+            metas = t["meta"].to_pylist()
+            payloads = t["payload"].to_pylist()
+            for term, df, cf, m, p in zip(terms, dfs, cfs, metas, payloads):
+                table[term] = _TermPostings(df, cf, codec.decode_meta(m), p)
+        self._parts[part] = table
+        return table
+
+    def lookup(self, term: str) -> Optional[_TermPostings]:
+        return self._load_part(term_partition(term, self.num_partitions)).get(term)
+
+    def idf(self, df: int) -> float:
+        return float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
+
+    def analyze_query(self, query: str) -> List[str]:
+        seen = set()
+        out = []
+        for t in self._analyze(query):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    # ------------------------------------------------------------------
+    def search(
+        self, query: str, k: int = 10, method: str = "wand"
+    ) -> List[Tuple[int, float]]:
+        """Top-k [(doc_id, score)] for an OR (match) query."""
+        if k <= 0:
+            return []
+        terms = self.analyze_query(query)
+        posts = [(t, self.lookup(t)) for t in terms]
+        posts = [(t, p) for t, p in posts if p is not None]
+        if not posts:
+            return []
+        if method == "exhaustive":
+            return self._search_exhaustive(posts, k)
+        return self._search_wand(posts, k)
+
+    def _search_exhaustive(self, posts, k: int) -> List[Tuple[int, float]]:
+        acc: Dict[int, float] = {}
+        for term, p in posts:
+            w = self.idf(p.df)
+            docids, tfs = codec.decode_postings(p.meta.tobytes(), p.payload)
+            dls = self.doc_lens(docids)
+            scores = w * codec.tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
+            for d, s in zip(docids.tolist(), scores.tolist()):
+                acc[d] = acc.get(d, 0.0) + s
+        # top-k by (-score, doc_id)
+        items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(int(d), float(s)) for d, s in items]
+
+    # ------------------------------------------------------------------
+    class _Cursor:
+        """Block-wise postings cursor for WAND."""
+
+        __slots__ = ("idx", "w", "meta", "payload", "bi", "pos", "docids", "tfs", "ub")
+
+        def __init__(self, idx: int, w: float, p: _TermPostings, engine: "QueryEngine"):
+            self.idx = idx  # query-term position: fixes float summation order
+            self.w = w
+            self.meta = p.meta
+            self.payload = p.payload
+            self.bi = -1
+            self.pos = 0
+            self.docids: Optional[np.ndarray] = None
+            self.tfs: Optional[np.ndarray] = None
+            # per-block score upper bounds: idf * tfnorm(max_tf, min_dl)
+            self.ub = w * codec.block_upper_bounds(p.meta, engine.avgdl, engine.k1, engine.b)
+            self._open_block(0)
+
+        def _open_block(self, bi: int) -> None:
+            self.bi = bi
+            self.pos = 0
+            self.docids = None  # decoded lazily on first access
+            self.tfs = None
+
+        def exhausted(self) -> bool:
+            return self.bi >= self.meta.size
+
+        def _ensure_decoded(self, engine: "QueryEngine") -> None:
+            if self.docids is None:
+                self.docids, self.tfs = codec.decode_block(self.payload, self.meta[self.bi])
+
+        def cur_doc(self, engine: "QueryEngine") -> int:
+            """Current candidate docid (uses block meta when undecoded)."""
+            if self.exhausted():
+                return 1 << 62
+            if self.docids is None and self.pos == 0:
+                return int(self.meta[self.bi]["first"])
+            self._ensure_decoded(engine)
+            return int(self.docids[self.pos])
+
+        def max_remaining_ub(self) -> float:
+            if self.exhausted():
+                return 0.0
+            return float(self.ub[self.bi :].max())
+
+        def advance_to(self, target: int, engine: "QueryEngine") -> None:
+            """Move to the first posting with docid >= target (block skipping
+            via last-docid metadata — blocks never decoded when skipped)."""
+            while not self.exhausted() and int(self.meta[self.bi]["last"]) < target:
+                self._open_block(self.bi + 1)
+            if self.exhausted():
+                return
+            self._ensure_decoded(engine)
+            self.pos = int(np.searchsorted(self.docids, target, side="left"))
+            if self.pos >= self.docids.size:  # defensive; last>=target ⇒ in block
+                self._open_block(self.bi + 1)
+                if not self.exhausted():
+                    self._ensure_decoded(engine)
+                    self.pos = 0
+
+        def advance_past(self, doc: int, engine: "QueryEngine") -> None:
+            self.advance_to(doc + 1, engine)
+
+        def score_at(self, doc: int, engine: "QueryEngine") -> float:
+            self._ensure_decoded(engine)
+            tf = int(self.tfs[self.pos])
+            dl = int(engine.doc_lens(np.array([doc], dtype=np.int64))[0])
+            tfn = codec.tf_norm(
+                np.array([tf]), np.array([dl]), engine.avgdl, engine.k1, engine.b
+            )[0]
+            return self.w * float(tfn)
+
+    def _search_wand(self, posts, k: int) -> List[Tuple[int, float]]:
+        cursors = [
+            self._Cursor(i, self.idf(p.df), p, self) for i, (_, p) in enumerate(posts)
+        ]
+        # top-k min-heap of (score, -doc_id) so ties prefer SMALLER doc_id:
+        # a new (score, doc) beats heap-min iff score higher, or equal score
+        # and smaller doc.
+        heap: List[Tuple[float, int]] = []
+        theta = -np.inf  # current k-th best score (entry threshold)
+
+        def consider(doc: int, score: float) -> None:
+            nonlocal theta
+            entry = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+                theta = heap[0][0]
+
+        while True:
+            live = [c for c in cursors if not c.exhausted()]
+            if not live:
+                break
+            live.sort(key=lambda c: c.cur_doc(self))
+            # find pivot: smallest prefix whose UB sum can beat theta
+            ub_sum = 0.0
+            pivot_idx = -1
+            for i, c in enumerate(live):
+                ub_sum += c.max_remaining_ub()
+                if len(heap) < k or ub_sum >= theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx == -1:
+                break  # no prefix can beat theta
+            pivot_doc = live[pivot_idx].cur_doc(self)
+            if live[0].cur_doc(self) == pivot_doc:
+                # all cursors up to pivot aligned on pivot_doc → score it,
+                # summing in query-term order (same float order as the
+                # exhaustive scorer, so exact ties stay exact)
+                score = 0.0
+                for c in sorted(
+                    (c for c in live if c.cur_doc(self) == pivot_doc),
+                    key=lambda c: c.idx,
+                ):
+                    score += c.score_at(pivot_doc, self)
+                consider(pivot_doc, score)
+                for c in live:
+                    if c.cur_doc(self) == pivot_doc:
+                        c.advance_past(pivot_doc, self)
+            else:
+                # advance one of the leading cursors to the pivot
+                live[0].advance_to(pivot_doc, self)
+
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return [(int(-nd), float(s)) for s, nd in out]
+
+    # ------------------------------------------------------------------
+    def search_table(self, query: str, k: int = 10, method: str = "wand") -> pa.Table:
+        hits = self.search(query, k, method)
+        return pa.table(
+            {
+                "rank": pa.array(range(1, len(hits) + 1), pa.int32()),
+                "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+                "score": pa.array([s for _, s in hits], pa.float64()),
+            }
+        )

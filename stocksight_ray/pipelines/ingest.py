@@ -1,0 +1,226 @@
+"""Webtext ingest pipeline — the reference's per-record document chain
+(/root/reference/sentiment.py:71-248) re-expressed as Ray Data stages.
+
+    read_parquet(url, warc_ts, html[, lang])
+      → map_batches(extract)           E1: html → text (byte-identical)
+      → map_batches(clean)             P4: clean_text (vectorized RE2)
+      → filter empty text              P2
+      → dedup newest-wins by url       A1: hash-bucket shuffle, vectorized
+      → assign dense doc_ids           sort by url → per-block offsets
+      → map_batches(EnrichStage)       T1 tokens + F1-F3 admission flags +
+                                       P5/M1 sentiment  (actor pool)
+      → write docs + norms parquet
+
+Admission filters (F1 min-tokens, F2 ignore-list, F3 required-list) are
+computed as an ``admitted`` flag rather than dropping rows — the fulltext
+index is built over admitted docs, but the docs table keeps everything
+(the reference's drops are logged skips; here they're queryable).
+
+Dedup is NOT actor state (the reference's unbounded in-process lists,
+/root/reference/sentiment.py:54,272-273): it is a hash-partitioned shuffle —
+``bucket = crc32(url) % B`` → groupby(bucket) → vectorized newest-wins
+drop_duplicates per bucket.
+
+Doc-id assignment is the deterministic sort-based scheme (SURVEY.md §7 step
+3): sort by url, then ids = dense offsets accumulated over the sorted blocks;
+ids are invariant to partition count / parallelism (tested at 1/4/16).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.clean import clean_text_array, clean_text_sentiment_array
+from ..functions.htmlx import extract_page_text
+from ..functions.sentiment import sentiment_analysis
+from ..functions.tokenize import nltk_style_tokens
+
+DEDUP_BUCKETS = 256
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """E1: recompute text from html (stateless; the input's text column, if
+    present, is dropped — we must reproduce it byte-identically)."""
+    texts = [extract_page_text(h) for h in batch["html"].to_pylist()]
+    cols = [c for c in batch.column_names if c != "text"]
+    return batch.select(cols).append_column("text", pa.array(texts, pa.string()))
+
+
+def clean_filter_batch(batch: pa.Table) -> pa.Table:
+    """P4 + P2: add text_clean; drop rows empty after cleaning."""
+    clean = clean_text_array(batch["text"])
+    batch = batch.append_column("text_clean", clean)
+    mask = pa.compute.greater(pa.compute.utf8_length(clean), 0)
+    return batch.filter(mask)
+
+
+def _bucket_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    batch["bucket"] = [
+        zlib.crc32(u.encode()) % DEDUP_BUCKETS for u in batch["url"]
+    ]
+    return batch
+
+
+def _dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(["url", "warc_ts"], ascending=[True, False], kind="stable")
+    g = g.drop_duplicates("url", keep="first")
+    return g.drop(columns=["bucket"])
+
+
+def dedup_newest_wins(ds):
+    """A1: exact dedup by url, newest warc_ts wins. Hash-bucket shuffle keeps
+    per-task groups coarse (vectorized pandas per bucket, not per url)."""
+    return (
+        ds.map_batches(_bucket_batch, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_dedup_bucket, batch_format="pandas")
+    )
+
+
+def assign_doc_ids(ds, key: str = "url"):
+    """Deterministic dense doc_ids = rank in the sorted order of ``key``.
+
+    Implementation: sort → materialize (fixes block boundaries) → one
+    metadata-only pass collects (first_key, rows) per block → driver computes
+    cumulative offsets (tiny: one entry per block) → second pass stamps
+    ``offset + arange`` per block.  Ids are independent of partition count
+    because they derive only from the global sorted order of unique keys.
+
+    Scale note: the driver-side state is O(#blocks), not O(#rows); at
+    10^12 docs with 128 MiB blocks that is a few million entries.
+    """
+    sorted_ds = ds.sort(key).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        return pa.table(
+            {"first": [batch[key][0].as_py()], "n": [batch.num_rows]}
+        )
+
+    metas = sorted_ds.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    metas = sorted(metas, key=lambda m: m["first"])
+    offsets = {}
+    acc = 0
+    for m in metas:
+        offsets[m["first"]] = acc
+        acc += m["n"]
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("doc_id", pa.array([], pa.int64()))
+        start = offsets[batch[key][0].as_py()]
+        ids = np.arange(start, start + batch.num_rows, dtype=np.int64)
+        return batch.append_column("doc_id", pa.array(ids))
+
+    return sorted_ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+class EnrichStage:
+    """Actor-pool stage: tokens (T1), admission filters (F1-F3), sentiment
+    (P5 clean + M1 two-source scorer).  Lexicons/stopwords are module data
+    loaded once per actor process."""
+
+    def __init__(
+        self,
+        min_tokens: int = 5,
+        tokens_required: Tuple[str, ...] = (),
+        tokens_ignored: Tuple[str, ...] = (),
+        min_required: int = 1,
+    ):
+        self.min_tokens = min_tokens
+        self.required = tuple(tokens_required)
+        self.ignored = frozenset(tokens_ignored)
+        self.min_required = min_required
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text_clean"].to_pylist()
+        tokens = [nltk_style_tokens(t) for t in texts]
+        admitted: List[bool] = []
+        for toks in tokens:
+            ok = len(toks) >= self.min_tokens
+            if ok and self.ignored and not self.ignored.isdisjoint(toks):
+                ok = False
+            if ok and self.required:
+                found = sum(1 for t in self.required if t in toks)
+                ok = found >= self.min_required
+            admitted.append(ok)
+
+        sent_texts = clean_text_sentiment_array(batch["text_clean"]).to_pylist()
+        pol = np.empty(len(sent_texts))
+        sub = np.empty(len(sent_texts))
+        labels: List[str] = []
+        for i, t in enumerate(sent_texts):
+            p, s, lab = sentiment_analysis(t)
+            pol[i] = p
+            sub[i] = s
+            labels.append(lab)
+
+        return (
+            batch.append_column("tokens", pa.array(tokens, pa.list_(pa.string())))
+            .append_column(
+                "doc_len",
+                pa.array(np.fromiter((len(t) for t in tokens), np.int32, len(tokens))),
+            )
+            .append_column("admitted", pa.array(admitted, pa.bool_()))
+            .append_column("polarity", pa.array(pol, pa.float64()))
+            .append_column("subjectivity", pa.array(sub, pa.float64()))
+            .append_column("sentiment", pa.array(labels, pa.string()))
+        )
+
+
+def ingest_webtext(
+    input_path,
+    out_dir: Optional[str] = None,
+    *,
+    enrich_concurrency: Optional[int] = None,
+    tokens_required: Tuple[str, ...] = (),
+    tokens_ignored: Tuple[str, ...] = (),
+    min_tokens: int = 5,
+    batch_size: int = 512,
+):
+    """Full ingest. Returns the enriched Dataset (lazy); if out_dir is given,
+    also writes docs/ (without tokens) and returns the written Dataset."""
+    import ray
+    import ray.data as rd
+
+    if isinstance(input_path, str):
+        ds = rd.read_parquet(input_path, columns=["url", "warc_ts", "html", "lang"])
+    else:
+        ds = input_path
+
+    if enrich_concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        enrich_concurrency = max(2, cpus - 2)
+
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(clean_filter_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = dedup_newest_wins(ds)
+    ds = assign_doc_ids(ds, "url")
+    ds = ds.map_batches(
+        EnrichStage,
+        fn_constructor_kwargs=dict(
+            min_tokens=min_tokens,
+            tokens_required=tokens_required,
+            tokens_ignored=tokens_ignored,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=enrich_concurrency,
+    )
+    if out_dir is not None:
+        import os
+
+        docs = ds.drop_columns(["tokens"])
+        docs.write_parquet(os.path.join(out_dir, "docs"))
+        import ray.data as rd2
+
+        return rd2.read_parquet(os.path.join(out_dir, "docs"))
+    return ds

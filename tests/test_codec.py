@@ -6,6 +6,7 @@ import pytest
 
 from stocksight_ray.index.codec import (
     BLOCK_SIZE,
+    block_upper_bounds,
     concat_runs,
     decode_meta,
     decode_postings,
@@ -29,7 +30,7 @@ def test_postings_roundtrip(n):
     ids = np.sort(rng.choice(2**31, size=n, replace=False)).astype(np.int64)
     tfs = rng.integers(1, 300, n).astype(np.int64)
     dls = rng.integers(5, 500, n).astype(np.int64)
-    meta_b, payload = encode_postings(ids, tfs, dls, avgdl=120.0)
+    meta_b, payload = encode_postings(ids, tfs, dls)
     di, ti = decode_postings(meta_b, payload)
     assert np.array_equal(di, ids)
     assert np.array_equal(ti, tfs)
@@ -46,13 +47,13 @@ def test_blockmax_is_upper_bound():
     tfs = rng.integers(1, 50, n).astype(np.int64)
     dls = rng.integers(5, 500, n).astype(np.int64)
     avgdl = 100.0
-    meta_b, payload = encode_postings(ids, tfs, dls, avgdl)
+    meta_b, payload = encode_postings(ids, tfs, dls)
     meta = decode_meta(meta_b)
     norms = tf_norm(tfs, dls, avgdl)
+    bounds = block_upper_bounds(meta, avgdl)
     for bi, row in enumerate(meta):
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
-        # float32 storage: allow tiny representation slack upward only
-        assert float(row["max_tfnorm"]) >= norms[lo:hi].max() * (1 - 1e-6)
+        assert bounds[bi] >= norms[lo:hi].max() - 1e-12
 
 
 def test_concat_runs_equals_single_encode_decode():
@@ -63,7 +64,7 @@ def test_concat_runs_equals_single_encode_decode():
     dls = rng.integers(10, 200, n).astype(np.int64)
     cuts = [0, 100, 355, 700]
     runs = [
-        encode_postings(ids[a:b], tfs[a:b], dls[a:b], 99.0)
+        encode_postings(ids[a:b], tfs[a:b], dls[a:b])
         for a, b in zip(cuts[:-1], cuts[1:])
     ]
     m, p = concat_runs(runs)

@@ -1,0 +1,155 @@
+"""Aggregation library — the reference's Kibana/ES aggregation surface
+(SURVEY.md §2.8/§2.9) as Ray Data pipelines.
+
+Reference semantics come from the dashboard definitions in
+/root/reference/export.json:
+  - terms agg top-k by count  (panels stocksight_sentinel size=5,
+    stocksight_wordcloud size=25)              → terms_topk / token_topk
+  - date_histogram (2h interval, count + sum)  → date_histogram
+  - metric aggs count/avg/median/min/max on polarity
+    (panel stocksight_polarity)                → metric_aggs / exact_median
+
+Scale design: every aggregation pre-reduces inside ``map_batches`` (local
+combine) before the shuffle, so the ``groupby`` exchanges only
+(key, partial) rows — at 10^12 input rows the shuffle volume is bounded by
+the key cardinality × partition count, not the data size.  ``exact_median``
+uses sort + block-offset location (no driver materialization of the column).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _combine_counts(batch: pa.Table, key: str) -> pa.Table:
+    """Local combine: (key, partial count) rows for one batch."""
+    t = pa.TableGroupBy(batch.select([key]), key).aggregate([([], "count_all")])
+    return t.rename_columns([key, "partial"])
+
+
+def terms_topk(ds, key: str, k: int = 5):
+    """ES ``terms`` agg: top-k key values by count, ties broken by key asc.
+
+    map_batches local count → groupby(key).sum(partial) → sort → limit.
+    The shuffle carries one row per (key, block) — pre-aggregated.
+    """
+    from ray.data.aggregate import Sum
+
+    counted = (
+        ds.map_batches(
+            lambda b: _combine_counts(b, key), batch_format="pyarrow"
+        )
+        .groupby(key)
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    # top-k by (cnt desc, key asc): the result cardinality is the distinct-key
+    # count; sort is the only exchange and its input is already reduced.
+    return counted.sort(["cnt", key], descending=[True, False]).limit(k)
+
+
+def token_topk(ds, text_col: str, k: int = 25, sep: str = " "):
+    """Word-cloud agg: explode whitespace tokens, count, top-k.
+
+    The explode + local count happens in one vectorized kernel per batch;
+    only (token, partial) rows shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode_count(batch: pa.Table) -> pa.Table:
+        col = pc.split_pattern(batch[text_col], sep)
+        flat = col.combine_chunks().flatten() if isinstance(col, pa.ChunkedArray) else col.flatten()
+        t = pa.table({"term": flat})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        g = pa.TableGroupBy(t, "term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "partial"])
+
+    counted = (
+        ds.map_batches(explode_count, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    return counted.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+def date_histogram(
+    ds,
+    ts_col: str,
+    interval_sec: int = 7200,
+    value_cols: Sequence[str] = (),
+):
+    """ES ``date_histogram`` with ``min_doc_count: 1``: bucket epoch-seconds
+    floored to ``interval_sec``; per bucket a doc count plus Sum of each
+    value column.  Returns columns (bucket:int64 epoch-sec, cnt, sum_<col>...).
+    """
+    from ray.data.aggregate import Sum
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch[ts_col], pa.int64()), 1_000_000)
+        bucket = pc.multiply(pc.floor(pc.divide(pc.cast(secs, pa.float64()), interval_sec)), float(interval_sec))
+        cols = {"bucket": pc.cast(bucket, pa.int64())}
+        for v in value_cols:
+            cols[v] = batch[v]
+        t = pa.table(cols)
+        aggs = [([], "count_all")] + [([v], "sum") for v in value_cols]
+        g = pa.TableGroupBy(t, "bucket").aggregate(aggs)
+        names = ["bucket", "partial_cnt"] + [f"partial_{v}" for v in value_cols]
+        return g.rename_columns(names)
+
+    aggs = [Sum("partial_cnt", alias_name="cnt")] + [
+        Sum(f"partial_{v}", alias_name=f"sum_{v}") for v in value_cols
+    ]
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(*aggs)
+        .sort("bucket")
+    )
+
+
+def metric_aggs(ds, col: str):
+    """ES metric aggs on one numeric column: count, avg, min, max (median is
+    a separate exact pass — exact_median).  Returns a 1-row pandas frame with
+    columns (cnt, avg_<col>, min_<col>, max_<col>)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    row = ds.aggregate(
+        Count(),
+        Mean(col, alias_name=f"avg_{col}"),
+        Min(col, alias_name=f"min_{col}"),
+        Max(col, alias_name=f"max_{col}"),
+    )
+    return pd.DataFrame(
+        [
+            {
+                "cnt": row["count()"],
+                f"avg_{col}": row[f"avg_{col}"],
+                f"min_{col}": row[f"min_{col}"],
+                f"max_{col}": row[f"max_{col}"],
+            }
+        ]
+    )
+
+
+def exact_median(ds, col: str) -> float:
+    """Exact median (ES percentiles-50 at test scale; SURVEY.md §7 chose
+    exact-by-sort over a sketch, documented).
+
+    Distributed: sort the column → per-block (rows) metadata → locate the
+    middle index(es) inside their block(s) → fetch only those blocks' values.
+    Driver state is O(#blocks); the column never materializes on the driver.
+    """
+    sorted_ds = ds.select_columns([col]).sort(col).materialize()
+    n = sorted_ds.count()
+    if n == 0:
+        return float("nan")
+    lo, hi = (n - 1) // 2, n // 2  # lower/upper middle (equal when odd)
+    # split_at_indices is metadata-driven on a materialized sorted dataset;
+    # splits[1] holds exactly rows [lo, hi] — at most 2 rows reach the driver.
+    splits = sorted_ds.split_at_indices([lo, hi + 1])
+    vals = [float(r[col]) for r in splits[1].take_all()]
+    return float(sum(vals) / len(vals))

@@ -1,0 +1,384 @@
+"""Tests for the training-data curation operators: aggregations, text stats,
+dedup families, similarity search, multimodal plumbing, time-series picks.
+
+Oracles are pandas/duckdb recomputations (SURVEY.md §5.3) over the
+driver-generated testdata tables plus deterministic synthetic inputs.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A2-A4)
+# ---------------------------------------------------------------------------
+
+def test_terms_topk(ray_session, docs_ds, docs_pd):
+    from stocksight_ray.pipelines.aggs import terms_topk
+
+    got = terms_topk(docs_ds, "lang", k=3).to_pandas()
+    exp = (
+        docs_pd.groupby("lang").size().reset_index(name="cnt")
+        .sort_values(["cnt", "lang"], ascending=[False, True])
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert list(got["lang"]) == list(exp["lang"])
+    assert list(got["cnt"]) == list(exp["cnt"])
+
+
+def test_token_topk(ray_session, docs_ds, docs_pd):
+    from stocksight_ray.pipelines.aggs import token_topk
+
+    got = token_topk(docs_ds, "text", k=10).to_pandas()
+    toks = docs_pd["text"].str.split(" ").explode()
+    toks = toks[toks != ""]
+    exp = (
+        toks.value_counts().rename_axis("term").reset_index(name="cnt")
+        .sort_values(["cnt", "term"], ascending=[False, True])
+        .head(10).reset_index(drop=True)
+    )
+    assert list(got["term"]) == list(exp["term"])
+    assert list(got["cnt"]) == list(exp["cnt"])
+
+
+def test_date_histogram(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.aggs import date_histogram
+
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = date_histogram(ds, "ts", 7200, value_cols=["value"]).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    bucket = (ev["ts"].astype("int64") // 10**6 // 7200 * 7200).astype("int64")
+    exp = (
+        ev.assign(bucket=bucket)
+        .groupby("bucket")
+        .agg(cnt=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values("bucket")
+    )
+    assert list(got["bucket"]) == list(exp["bucket"])
+    assert list(got["cnt"]) == list(exp["cnt"])
+    np.testing.assert_allclose(got["sum_value"], exp["sum_value"], rtol=1e-9)
+
+
+def test_metric_aggs_and_median(ray_session, docs_ds, docs_pd):
+    from stocksight_ray.pipelines.aggs import exact_median, metric_aggs
+
+    got = metric_aggs(docs_ds, "n_chars")
+    assert got["cnt"].iloc[0] == len(docs_pd)
+    assert got["min_n_chars"].iloc[0] == docs_pd["n_chars"].min()
+    assert got["max_n_chars"].iloc[0] == docs_pd["n_chars"].max()
+    np.testing.assert_allclose(
+        got["avg_n_chars"].iloc[0], docs_pd["n_chars"].mean(), rtol=1e-12
+    )
+    med = exact_median(docs_ds, "n_chars")
+    assert med == pytest.approx(docs_pd["n_chars"].median())
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+def test_quality_stats_match_duckdb(ray_session, docs_ds):
+    from stocksight_ray.functions.textstats import (
+        PUNCT_RE, TOKEN_RE, quality_stats_batch,
+    )
+
+    got = (
+        docs_ds.map_batches(quality_stats_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re_tokens,
+               len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct
+        FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id
+        """
+    ).df()
+    assert list(got["n_ws_tokens"]) == list(exp["n_ws_tokens"])
+    assert list(got["n_re_tokens"]) == list(exp["n_re_tokens"])
+    assert list(got["n_punct"]) == list(exp["n_punct"])
+
+
+def test_lang_id_accuracy(ray_session, docs_ds):
+    from stocksight_ray.functions.textstats import lang_id_batch
+
+    got = docs_ds.map_batches(lang_id_batch, batch_format="pyarrow").to_pandas()
+    # The synthetic documents are word salad from an English-ish vocab; only
+    # verify determinism + valid codes, and en-accuracy on real sentences.
+    assert set(got["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "und"}
+    from stocksight_ray.functions.textstats import lang_id
+
+    assert lang_id("the cat is on the mat and it is happy") == "en"
+    assert lang_id("der markt ist gut und die aktie steigt nicht") == "de"
+    assert lang_id("le chat est dans la maison et il est content") == "fr"
+    assert lang_id("el mercado es bueno y la empresa no tiene deuda") == "es"
+
+
+def test_fingerprint_deterministic(ray_session, docs_ds):
+    from stocksight_ray.functions.textstats import fingerprint, fingerprint_batch
+
+    got = docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    # spot-check against the scalar implementation
+    sample = got.head(20)
+    for _, r in sample.iterrows():
+        expect = fingerprint(r["text"])
+        assert (int(r["fingerprint"]) & 0xFFFFFFFFFFFFFFFF) == expect
+    # distinct texts → distinct fingerprints (no collision at this scale)
+    assert got["fingerprint"].nunique() == got["text"].nunique()
+
+
+# ---------------------------------------------------------------------------
+# dedup families
+# ---------------------------------------------------------------------------
+
+def _dup_corpus():
+    """12 docs: 3 exact-dup groups, 2 near-dup pairs, rest unique."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the market "
+        "rises and investors watch the quarterly earnings report closely"
+    )
+    texts = [
+        base,
+        base,  # exact dup of 0
+        base + " today",  # near dup of 0
+        "completely different text about cooking pasta with tomato sauce "
+        "and fresh basil leaves from the garden in summer",
+        "completely different text about cooking pasta with tomato sauce "
+        "and fresh basil leaves from the garden in winter",  # near dup of 3
+        "unrelated short snippet",
+        "another unique document about astronomy telescopes and the night "
+        "sky full of stars and distant galaxies",
+        base,  # exact dup of 0
+        "financial news report on interest rates and federal reserve "
+        "policy decisions affecting bond yields significantly",
+        "sports coverage of the championship game with record attendance "
+        "and dramatic overtime finish last night",
+        "weather forecast predicting heavy rain and strong winds across "
+        "the northern region through the weekend period",
+        "technology review of the latest smartphone camera features and "
+        "battery life improvements over previous models",
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.dedup import exact_dedup
+
+    ds = rd.from_arrow(_dup_corpus())
+    kept = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    # ids 1 and 7 are exact dups of 0 → dropped; all else kept
+    assert list(kept["doc_id"]) == [0, 2, 3, 4, 5, 6, 8, 9, 10, 11]
+
+
+def test_minhash_lsh_dedup(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.dedup import minhash_keep_ids
+
+    ds = rd.from_arrow(_dup_corpus())
+    keep = minhash_keep_ids(ds, threshold=0.6)["doc_id"].to_pylist()
+    # 1, 7 (exact) and 2 (near) collapse into 0; 4 collapses into 3
+    assert 0 in keep and 3 in keep
+    assert 1 not in keep and 7 not in keep and 2 not in keep and 4 not in keep
+    assert {5, 6, 8, 9, 10, 11} <= set(keep)
+
+
+def test_simhash_dedup(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.dedup import simhash_dedup
+
+    ds = rd.from_arrow(_dup_corpus())
+    decisions = simhash_dedup(ds, max_hamming=3).to_pandas()
+    dropped = set(decisions.loc[~decisions["keep"], "doc_id"].astype(int))
+    assert {1, 7} <= dropped  # exact dups always within hamming 0
+    assert 3 not in dropped and 0 not in dropped
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.dedup import ngram_jaccard_pairs, jaccard, shingles
+
+    ds = rd.from_arrow(_dup_corpus())
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got and (0, 7) in got and (1, 7) in got
+    assert (3, 4) in got
+    # verify reported jaccard values are the exact ones
+    t = _dup_corpus().to_pandas().set_index("doc_id")["text"]
+    for _, r in pairs.iterrows():
+        exact = jaccard(shingles(t[int(r["a"])]), shingles(t[int(r["b"])]))
+        assert r["jacc"] == pytest.approx(exact)
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.dedup import embedding_dedup
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((6, 16))
+    vecs = np.vstack([base, base[0] + rng.standard_normal(16) * 0.01])  # 6 = near-dup of 0
+    t = pa.table(
+        {"vec_id": pa.array(range(7), pa.int64()),
+         "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64()))}
+    )
+    decisions = embedding_dedup(rd.from_arrow(t), threshold=0.99).to_pandas()
+    dropped = set(decisions.loc[~decisions["keep"], "vec_id"].astype(int))
+    assert dropped == {6}
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_brute_force_topk_vs_numpy(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.similarity import brute_force_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.asarray(list(emb["embedding"]), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = m[:3]
+    got = brute_force_topk(ds, queries, k=5).to_pandas()
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    ids = emb["vec_id"].to_numpy()
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        exp_ids = ids[order].tolist()
+        sub = got[got["query_idx"] == qi].sort_values("rank")
+        assert list(sub["vec_id"]) == exp_ids
+        np.testing.assert_allclose(sub["score"], sims[qi][order], rtol=1e-9)
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.similarity import (
+        brute_force_topk, ivf_partition, ivf_topk, train_centroids,
+    )
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.asarray(list(emb["embedding"]), dtype=np.float64)
+    cent = train_centroids(ds, nlist=8)
+    bucketed = ivf_partition(ds, cent).materialize()
+    queries = m[:5]
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = ivf_topk(bucketed, cent, queries, k=10, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_image_features_pipeline(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.multimodal import (
+        ImageFeatureStage, image_features, synth_binary_table,
+    )
+
+    t = synth_binary_table(40)
+    out = image_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    assert len(out) == 40
+    assert all(len(f) == ImageFeatureStage.FEATURE_DIM for f in out["features"])
+    # deterministic: same payload → same features
+    direct = ImageFeatureStage()(t).to_pandas()
+    merged = out.sort_values("id").reset_index(drop=True)
+    for a, b in zip(merged["features"], direct.sort_values("id")["features"]):
+        np.testing.assert_allclose(a, b)
+
+
+def test_frame_sampling(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.multimodal import sample_frames, synth_binary_table
+
+    t = synth_binary_table(10, payload_bytes=256)
+    out = sample_frames(rd.from_arrow(t), num_frames=4).to_pandas()
+    assert len(out) == 40
+    assert set(out["frame_idx"]) == {0, 1, 2, 3}
+
+
+def test_audio_stub_raises():
+    from stocksight_ray.pipelines.multimodal import AudioFeatureStage, synth_binary_table
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage()(synth_binary_table(2))
+
+
+# ---------------------------------------------------------------------------
+# time-series picks (stockprice parity)
+# ---------------------------------------------------------------------------
+
+def test_latest_nonnull_and_pct_change(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.stockprice import (
+        generate_prices, latest_nonnull, pct_change_last,
+    )
+
+    prices = generate_prices(days=1)
+    ds = rd.from_arrow(prices)
+    got = latest_nonnull(ds, "symbol", "ts", ["close", "high", "low", "volume"]).to_pandas()
+    pdf = prices.to_pandas()
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values("ts")
+        row = got[got["symbol"] == sym].iloc[0]
+        assert row["last_close"] == pytest.approx(g["close"].dropna().iloc[-1])
+        assert row["last_volume"] == g["volume"].dropna().iloc[-1]
+    chg = pct_change_last(ds, "symbol", "ts", "close").to_pandas()
+    for sym, g in pdf.groupby("symbol"):
+        s = g.sort_values("ts")["close"].dropna()
+        exp = (s.iloc[-1] - s.iloc[-2]) / s.iloc[-2] * 100.0
+        assert chg[chg["symbol"] == sym]["change"].iloc[0] == pytest.approx(exp)
+
+
+def test_ohlc_bucket(ray_session):
+    import ray.data as rd
+    from stocksight_ray.pipelines.stockprice import generate_prices, ohlc_bucket
+
+    prices = generate_prices(symbols=("TSLA", "AAPL"), days=1)
+    got = ohlc_bucket(rd.from_arrow(prices), "symbol", "ts", "close", 7200).to_pandas()
+    pdf = prices.to_pandas()
+    pdf["bucket"] = pdf["ts"].astype("int64") // 10**6 // 7200 * 7200
+    for (sym, b), g in pdf.groupby(["symbol", "bucket"]):
+        s = g.sort_values("ts")["close"].dropna()
+        row = got[(got["symbol"] == sym) & (got["bucket"] == b)].iloc[0]
+        assert row["open"] == pytest.approx(s.iloc[0])
+        assert row["close"] == pytest.approx(s.iloc[-1])
+        assert row["high"] == pytest.approx(s.max())
+        assert row["low"] == pytest.approx(s.min())

@@ -1,44 +1,602 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator pipelines, and
+oracle_sql() DuckDB equivalents (SURVEY.md §2 coverage → CORRECTNESS gate).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name parity: every aggregate/computed column is named identically in
+the Ray pipeline and the SQL (the driver hashes values after sorting columns
+by name).  Float policy: integer aggregates are exact; float *sums* are
+rounded to a fixed number of decimals on BOTH sides (summation order differs
+between engines); per-row float arithmetic uses the same IEEE op order on
+both sides and is left unrounded where safe, rounded otherwise.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Kept in sync with stocksight_ray.functions.textstats.QUALITY_STOPWORDS.
+_STOP_SQL = "('the','a','an','and','or','of','to','in','is','it')"
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_PUNCT_RE = "[.,!?;:]"
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _round_cols(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
+    for col, nd in spec.items():
+        df[col] = df[col].astype(float).round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries
+# ---------------------------------------------------------------------------
+
+def q01_lang_topk(sf_dir: str):
+    from stocksight_ray.pipelines.aggs import terms_topk
+
+    return terms_topk(_docs(sf_dir), "lang", k=5)
+
+
+def q02_token_topk(sf_dir: str):
+    from stocksight_ray.pipelines.aggs import token_topk
+
+    return token_topk(_docs(sf_dir), "text", k=25)
+
+
+def q03_text_counts(sf_dir: str):
+    from stocksight_ray.functions.textstats import quality_stats_batch
+
+    out = _docs(sf_dir).map_batches(
+        quality_stats_batch, batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["doc_id", "n_ws_tokens", "n_re_tokens", "n_punct", "n_stopwords"]
+    )
+
+
+def q04_text_ratios(sf_dir: str):
+    from stocksight_ray.functions.textstats import quality_stats_batch
+
+    out = _docs(sf_dir).map_batches(quality_stats_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "punct_ratio", "stopword_ratio"])
+
+
+def q05_exact_dedup(sf_dir: str):
+    from stocksight_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def q06_admission(sf_dir: str):
+    """F1-style min-token admission filter over the ws-token count."""
+    import pyarrow.compute as pc
+
+    from stocksight_ray.functions.textstats import ws_token_count
+
+    def admit(batch: pa.Table) -> pa.Table:
+        n = ws_token_count(batch["text"])
+        return batch.select(["doc_id"]).filter(pc.greater_equal(n, 50))
+
+    return _docs(sf_dir).map_batches(admit, batch_format="pyarrow")
+
+
+def q07_metric_nchars(sf_dir: str):
+    from stocksight_ray.pipelines.aggs import metric_aggs
+
+    df = metric_aggs(_docs(sf_dir), "n_chars")
+    return _round_cols(df, {"avg_n_chars": 6})
+
+
+def q08_median_nchars(sf_dir: str):
+    from stocksight_ray.pipelines.aggs import exact_median
+
+    med = exact_median(_docs(sf_dir), "n_chars")
+    return pd.DataFrame([{"median_n_chars": float(med)}])
+
+
+def q09_date_histogram(sf_dir: str):
+    from stocksight_ray.pipelines.aggs import date_histogram
+
+    df = date_histogram(_events(sf_dir), "ts", 7200, value_cols=["value"]).to_pandas()
+    return _round_cols(df, {"sum_value": 4})
+
+
+def q10_event_type_topk(sf_dir: str):
+    from stocksight_ray.pipelines.aggs import terms_topk
+
+    return terms_topk(_events(sf_dir), "event_type", k=10)
+
+
+def q11_last_value_per_user(sf_dir: str):
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "last_value": [g["value"].iloc[-1]]}
+        )
+
+    return _events(sf_dir).groupby("user_id").map_groups(pick, batch_format="pandas")
+
+
+def q12_pct_change_per_user(sf_dir: str):
+    def chg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["ts", "event_id"], kind="stable")["value"]
+        if len(s) >= 2 and s.iloc[-2] != 0:
+            c = (s.iloc[-1] - s.iloc[-2]) / s.iloc[-2] * 100.0
+        else:
+            c = 0.0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "change": [round(float(c), 6)]})
+
+    return _events(sf_dir).groupby("user_id").map_groups(chg, batch_format="pandas")
+
+
+def q13_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style pricing summary: local combine in map_batches, then a
+    tiny groupby over (flag, status) partials — the canonical
+    partial-aggregation pattern (sum_qty is exact: integral doubles)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_discount", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc", "p_cnt"]
+        )
+
+    agg = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_price", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="s_disc"),
+            Sum("p_cnt", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    agg["avg_disc"] = (agg["s_disc"] / agg["count_order"]).round(6)
+    agg["sum_base_price"] = agg["sum_base_price"].round(2)
+    return agg.drop(columns=["s_disc"]).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
+def q14_orders_status(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderstatus", "o_totalprice"]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, "o_orderstatus").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["o_orderstatus", "p_price", "p_cnt"])
+
+    df = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("p_cnt", alias_name="cnt"), Sum("p_price", alias_name="sum_totalprice"))
+        .to_pandas()
+    )
+    return _round_cols(df, {"sum_totalprice": 2})
+
+
+def q15_orders_mktsegment(sf_dir: str):
+    """Broadcast hash join: the small customer table is put into the object
+    store ONCE (ray.put) and read zero-copy by every orders task — no
+    shuffle join for a small dimension side (SURVEY.md §4 skew guidance)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join_combine(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        segs = [lut.get(k) for k in batch["o_custkey"].to_pylist()]
+        t = pa.table(
+            {"c_mktsegment": pa.array(segs, pa.string()), "o_totalprice": batch["o_totalprice"]}
+        ).filter(pa.compute.is_valid(pa.array(segs, pa.string())))
+        g = pa.TableGroupBy(t, "c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["c_mktsegment", "p_price", "p_cnt"])
+
+    df = (
+        orders.map_batches(join_combine, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_cnt", alias_name="order_cnt"), Sum("p_price", alias_name="sum_totalprice"))
+        .to_pandas()
+    )
+    return _round_cols(df, {"sum_totalprice": 2})
+
+
+def q16_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from stocksight_ray.pipelines.similarity import brute_force_topk
+
+    import ray.data as rd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(emb_path)
+    by_id = {v: e for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())}
+    queries = np.array([by_id[0], by_id[1], by_id[2]], dtype=np.float64)
+    ds = rd.read_parquet(emb_path)
+    out = brute_force_topk(ds, queries, k=10).to_pandas()
+    return _round_cols(out, {"score": 6})
+
+
+def q17_events_ohlc(sf_dir: str):
+    from stocksight_ray.pipelines.stockprice import ohlc_bucket
+
+    return ohlc_bucket(_events(sf_dir), "user_id", "ts", "value", 86400)
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: stateful index, lexicon scoring,
+# LSH, approximate search, binary decode)
+# ---------------------------------------------------------------------------
+
+def q18_bm25(sf_dir: str):
+    """Full inverted-index build + BM25 top-10 over the documents table.
+    Not SQL-expressible (Porter analyzer + index state) — deterministic."""
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.query import QueryEngine
+
+    out_dir = tempfile.mkdtemp(prefix="q18_index_")
+    build_index(
+        _docs(sf_dir), out_dir, text_col="text", id_col="doc_id",
+        num_partitions=8, batch_size=256,
+    )
+    eng = QueryEngine(out_dir)
+    queries = ["table scan", "window sort merge", "spark query", "hash join batch", "stream"]
+    frames = []
+    for qid, q in enumerate(queries):
+        t = eng.search_table(q, k=10).to_pandas()
+        t.insert(0, "query_id", qid)
+        frames.append(t)
+    res = pd.concat(frames, ignore_index=True)
+    res["score"] = res["score"].round(6)
+    return res
+
+
+def q19_minhash_dedup(sf_dir: str):
+    from stocksight_ray.pipelines.dedup import minhash_keep_ids
+
+    return minhash_keep_ids(_docs(sf_dir), threshold=0.7)
+
+
+def q20_simhash(sf_dir: str):
+    from stocksight_ray.pipelines.dedup import simhash64
+
+    def add(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(t) - (1 << 63) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(hs, pa.int64())}
+        )
+
+    return _docs(sf_dir).map_batches(add, batch_format="pyarrow")
+
+
+def q21_fingerprint(sf_dir: str):
+    from stocksight_ray.functions.textstats import fingerprint_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+def q22_lang_id(sf_dir: str):
+    from stocksight_ray.functions.textstats import lang_id_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(lang_id_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+def q23_sentiment(sf_dir: str):
+    """Reference sentiment stage (M1) over documents.text — actor pool."""
+    from stocksight_ray.functions.sentiment import sentiment_analysis
+
+    class Scorer:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pol, sub, lab = [], [], []
+            for t in batch["text"].to_pylist():
+                p, s, l = sentiment_analysis(t or "")
+                pol.append(round(p, 6)); sub.append(round(s, 6)); lab.append(l)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "polarity": pa.array(pol, pa.float64()),
+                    "subjectivity": pa.array(sub, pa.float64()),
+                    "sentiment": pa.array(lab, pa.string()),
+                }
+            )
+
+    return _docs(sf_dir).map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+
+def q24_ivf_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.similarity import (
+        ivf_partition, ivf_topk, train_centroids,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(emb_path)
+    by_id = {v: e for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())}
+    queries = np.array([by_id[0], by_id[1]], dtype=np.float64)
+    ds = rd.read_parquet(emb_path)
+    cent = train_centroids(ds, nlist=8)
+    bucketed = ivf_partition(ds, cent).materialize()
+    out = ivf_topk(bucketed, cent, queries, k=10, nprobe=4).to_pandas()
+    return _round_cols(out, {"score": 6})
+
+
+def q25_image_features(sf_dir: str):
+    """Multimodal plumbing: binary payload → feature vectors (stub decoder,
+    deterministic).  Input is the package's synthetic binary table (no
+    binary column in the sf tables)."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.multimodal import image_features, synth_binary_table
+
+    t = synth_binary_table(200)
+    out = image_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    out["features"] = out["features"].map(
+        lambda f: [round(float(x), 5) for x in f]
+    )
+    return out
+
+
+def q26_webtext_ingest(sf_dir: str):
+    """Flagship webtext chain on a deterministic synthetic corpus (the sf
+    tables carry no html column): extract → clean → dedup → doc_ids →
+    enrich.  Returns per-doc admission/sentiment summary."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+    from stocksight_ray.webtext import generate_table
+
+    n_pages = 800
+    ds = rd.from_arrow(generate_table(n_pages, seed=42))
+    out = ingest_webtext(ds).drop_columns(["tokens"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": batch["url"],
+                "doc_len": batch["doc_len"],
+                "admitted": batch["admitted"],
+                "sentiment": batch["sentiment"],
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_lang_topk": q01_lang_topk,
+        "q02_token_topk": q02_token_topk,
+        "q03_text_counts": q03_text_counts,
+        "q04_text_ratios": q04_text_ratios,
+        "q05_exact_dedup": q05_exact_dedup,
+        "q06_admission": q06_admission,
+        "q07_metric_nchars": q07_metric_nchars,
+        "q08_median_nchars": q08_median_nchars,
+        "q09_date_histogram": q09_date_histogram,
+        "q10_event_type_topk": q10_event_type_topk,
+        "q11_last_value_per_user": q11_last_value_per_user,
+        "q12_pct_change_per_user": q12_pct_change_per_user,
+        "q13_lineitem_pricing": q13_lineitem_pricing,
+        "q14_orders_status": q14_orders_status,
+        "q15_orders_mktsegment": q15_orders_mktsegment,
+        "q16_knn": q16_knn,
+        "q17_events_ohlc": q17_events_ohlc,
+        "q18_bm25": q18_bm25,
+        "q19_minhash_dedup": q19_minhash_dedup,
+        "q20_simhash": q20_simhash,
+        "q21_fingerprint": q21_fingerprint,
+        "q22_lang_id": q22_lang_id,
+        "q23_sentiment": q23_sentiment,
+        "q24_ivf_knn": q24_ivf_knn,
+        "q25_image_features": q25_image_features,
+        "q26_webtext_ingest": q26_webtext_ingest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_lang_topk": (
+            "SELECT lang, count(*) AS cnt FROM documents "
+            "GROUP BY lang ORDER BY cnt DESC, lang LIMIT 5"
+        ),
+        "q02_token_topk": (
+            "SELECT term, count(*) AS cnt FROM ("
+            "  SELECT unnest(string_split(text, ' ')) AS term FROM documents"
+            ") WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term LIMIT 25"
+        ),
+        "q03_text_counts": (
+            "SELECT doc_id, "
+            "len(string_split(text, ' ')) AS n_ws_tokens, "
+            f"len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_re_tokens, "
+            f"len(regexp_extract_all(text, '{_PUNCT_RE}')) AS n_punct, "
+            f"len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stopwords "
+            "FROM documents"
+        ),
+        "q04_text_ratios": (
+            "SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE)"
+            " / greatest(length(text), 1) AS punct_ratio, "
+            f"CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)"
+            " / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio "
+            "FROM documents"
+        ),
+        "q05_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "q06_admission": (
+            "SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) >= 50"
+        ),
+        "q07_metric_nchars": (
+            "SELECT count(*) AS cnt, round(avg(n_chars), 6) AS avg_n_chars, "
+            "min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars FROM documents"
+        ),
+        "q08_median_nchars": (
+            "SELECT CAST(median(n_chars) AS DOUBLE) AS median_n_chars FROM documents"
+        ),
+        "q09_date_histogram": (
+            "SELECT CAST(floor(epoch(ts)/7200)*7200 AS BIGINT) AS bucket, "
+            "count(*) AS cnt, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY bucket ORDER BY bucket"
+        ),
+        "q10_event_type_topk": (
+            "SELECT event_type, count(*) AS cnt FROM events "
+            "GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10"
+        ),
+        "q11_last_value_per_user": (
+            "SELECT user_id, value AS last_value FROM ("
+            "  SELECT user_id, value, row_number() OVER ("
+            "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+            "  FROM events) WHERE rn = 1"
+        ),
+        "q12_pct_change_per_user": (
+            "WITH ordered AS (SELECT user_id, value, row_number() OVER ("
+            "  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "SELECT l.user_id, round(CASE WHEN p.prev IS NOT NULL AND p.prev <> 0 "
+            "THEN (l.v - p.prev) / p.prev * 100.0 ELSE 0.0 END, 6) AS change "
+            "FROM (SELECT user_id, value AS v FROM ordered WHERE rn = 1) l "
+            "LEFT JOIN (SELECT user_id, value AS prev FROM ordered WHERE rn = 2) p "
+            "USING (user_id)"
+        ),
+        "q13_lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_discount) / count(*), 6) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q14_orders_status": (
+            "SELECT o_orderstatus, count(*) AS cnt, "
+            "round(sum(o_totalprice), 2) AS sum_totalprice "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+        "q15_orders_mktsegment": (
+            "SELECT c_mktsegment, count(*) AS order_cnt, "
+            "round(sum(o_totalprice), 2) AS sum_totalprice "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "q16_knn": (
+            "WITH q AS ("
+            "  SELECT 0 AS query_idx, (SELECT embedding FROM embeddings WHERE vec_id = 0) AS qv"
+            "  UNION ALL SELECT 1, (SELECT embedding FROM embeddings WHERE vec_id = 1)"
+            "  UNION ALL SELECT 2, (SELECT embedding FROM embeddings WHERE vec_id = 2)"
+            "), scored AS ("
+            "  SELECT q.query_idx, e.vec_id, "
+            "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS s"
+            "  FROM embeddings e CROSS JOIN q"
+            "), ranked AS ("
+            "  SELECT query_idx, vec_id, s, CAST(row_number() OVER ("
+            "    PARTITION BY query_idx ORDER BY s DESC, vec_id) - 1 AS BIGINT) AS rank"
+            "  FROM scored) "
+            "SELECT query_idx, rank, vec_id, round(s, 6) AS score "
+            "FROM ranked WHERE rank < 10 ORDER BY query_idx, rank"
+        ),
+        "q17_events_ohlc": (
+            "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)"
+            "  AS bucket, ts, event_id, value FROM events), "
+            "o AS (SELECT user_id, bucket, value, "
+            "  row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS rn_a, "
+            "  row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn_d "
+            "FROM b) "
+            "SELECT user_id, bucket, "
+            "max(CASE WHEN rn_a = 1 THEN value END) AS open, "
+            "max(value) AS high, min(value) AS low, "
+            "max(CASE WHEN rn_d = 1 THEN value END) AS close, "
+            "count(*) AS n FROM o GROUP BY user_id, bucket"
+        ),
+    }
+
+
+def entry() -> Any:
+    """Flagship: full webtext chain at smoke scale — synthetic corpus →
+    extract/clean/dedup/doc-ids/enrich → SPIMI index build → BM25 top-k —
+    plus a documents-table read from sf0.001 to prove the sf contract."""
+    import ray.data as rd
+
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.query import QueryEngine
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+    from stocksight_ray.webtext import generate_table
+
+    corpus = generate_table(600, seed=42)
+    enriched = ingest_webtext(rd.from_arrow(corpus))
+    docs = enriched.drop_columns(["tokens"]).materialize()
+
+    out_dir = tempfile.mkdtemp(prefix="entry_index_")
+    build_index(docs, out_dir, text_col="text_clean", num_partitions=8, batch_size=256)
+    eng = QueryEngine(out_dir)
+
+    rows = []
+    for qid, q in enumerate(["stock market earnings", "investor fears", "quarterly report"]):
+        t = eng.search_table(q, k=10).to_pandas()
+        t.insert(0, "query_id", qid)
+        rows.append(t)
+    res = pd.concat(rows, ignore_index=True)
+
+    # sf contract: touch the driver-generated table too
+    n_docs = rd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet")).count()
+    res["sf_docs"] = n_docs
+    return res

@@ -1,0 +1,260 @@
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  ingest_index   synthetic webtext corpus (scale-matched to sf) →
+                 extract/clean/dedup/doc-ids/enrich → SPIMI index build
+                 (BASELINE metric: indexing throughput docs/s)
+  bm25_queries   BM25 top-10 over the built index, p95 latency over the
+                 reference-style query set
+  plus individual training-data ops timed into the "queries" dict.
+
+--scaling: runs the ingest_index pipeline in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same pre-generated corpus and reports
+both throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N vs 4N node clusters).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+N_PAGES = max(2000, int(200_000 * SF))  # 20k pages at sf0.1
+# Scaling runs need enough per-core work that compute dominates the fixed
+# session/actor-pool costs — 5× the headline corpus (100k pages at sf0.1).
+N_PAGES_SCALING = 5 * N_PAGES
+CORPUS_DIR = f"/tmp/bench_webtext_{N_PAGES}"
+
+
+def ensure_corpus(n_pages: int = None) -> str:
+    n = n_pages or N_PAGES
+    corpus_dir = f"/tmp/bench_webtext_{n}"
+    marker = os.path.join(corpus_dir, "_DONE")
+    if not os.path.exists(marker):
+        from stocksight_ray.webtext import write_webtext_parquet
+
+        write_webtext_parquet(corpus_dir, n, rows_per_file=4000)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return corpus_dir
+
+
+def make_queries() -> list:
+    """Deterministic reference-style query set (50 queries, 1-3 terms)."""
+    from stocksight_ray.webtext import _REAL_WORDS
+
+    w = _REAL_WORDS
+    qs = []
+    for i in range(50):
+        n = 1 + (i % 3)
+        qs.append(" ".join(w[(i * 7 + j * 13) % len(w)] for j in range(n)))
+    return qs
+
+
+def run_ingest_index(corpus_dir: str, index_dir: str) -> dict:
+    """The headline build: corpus → enriched docs → inverted index."""
+    import ray.data as rd
+
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+
+    t0 = time.time()
+    ds = rd.read_parquet(corpus_dir, columns=["url", "warc_ts", "html", "lang"])
+    enriched = ingest_webtext(ds)
+    docs = enriched.drop_columns(["tokens"]).materialize()
+    n_docs = docs.count()
+    t_ingest = time.time() - t0
+
+    t1 = time.time()
+    manifest = build_index(
+        docs, index_dir, text_col="text_clean", num_partitions=32, batch_size=1024
+    )
+    t_index = time.time() - t1
+    total = time.time() - t0
+    return {
+        "n_docs": n_docs,
+        "ingest_sec": round(t_ingest, 3),
+        "index_sec": round(t_index, 3),
+        "total_sec": round(total, 3),
+        "docs_per_sec": round(n_docs / total, 1),
+        "index_docs_per_sec": round(manifest["num_docs"] / t_index, 1),
+    }
+
+
+def run_query_bench(index_dir: str) -> dict:
+    import numpy as np
+
+    from stocksight_ray.index.query import QueryEngine
+
+    eng = QueryEngine(index_dir)
+    eng.warm()  # serving actors preload the dictionary; measure warm latency
+    queries = make_queries()
+    for q in queries[:5]:
+        eng.search(q, 10)
+    lat = []
+    for q in queries:
+        t0 = time.perf_counter()
+        eng.search(q, 10)
+        lat.append(time.perf_counter() - t0)
+    lat = np.array(lat)
+    return {
+        "queries": len(queries),
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 3),
+        "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 3),
+        "mean_ms": round(float(lat.mean()) * 1000, 3),
+    }
+
+
+def timed(fn, *args, **kw):
+    t0 = time.time()
+    fn(*args, **kw)
+    return round(time.time() - t0, 3)
+
+
+def run_ops_bench() -> dict:
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name in [
+        "q02_token_topk",
+        "q09_date_histogram",
+        "q13_lineitem_pricing",
+        "q16_knn",
+        "q19_minhash_dedup",
+        "q05_exact_dedup",
+        "q23_sentiment",
+    ]:
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas() if not isinstance(res, rd.Dataset) else res.materialize()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench() -> None:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    corpus = ensure_corpus()
+    index_dir = f"/tmp/bench_index_{N_PAGES}_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    build = run_ingest_index(corpus, index_dir)
+    qbench = run_query_bench(index_dir)
+    ops = run_ops_bench()
+
+    result = {
+        "metric": "webtext ingest+index wall sec (headline); indexing docs/s + BM25 p95 in details",
+        "value": build["total_sec"],
+        "unit": "sec",
+        "queries": {
+            "ingest_index": build["total_sec"],
+            "bm25_p95_ms": qbench["p95_ms"],
+            **ops,
+        },
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+        "n_pages": N_PAGES,
+        "details": {"build": build, "query": qbench},
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling_child(cpus: int) -> dict:
+    """Runs in a FRESH process: ingest+index at the given parallelism."""
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    corpus = ensure_corpus(N_PAGES_SCALING)
+    index_dir = f"/tmp/bench_scaling_index_{cpus}"
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build = run_ingest_index(corpus, index_dir)
+    ray.shutdown()
+    return build
+
+
+def main_scaling() -> None:
+    # Pre-generate the corpus once (its own Ray session) so children only
+    # measure the pipeline.
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    ensure_corpus(N_PAGES_SCALING)
+    ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not line:
+            print(json.dumps({"error": proc.stderr[-2000:]}))
+            sys.exit(1)
+        results[cpus] = json.loads(line[-1])
+
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    out = {
+        "metric": "scaling efficiency N=8 -> 4N=32 cpus (webtext ingest+index)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "docs_per_sec_8cpu": thr8,
+            "docs_per_sec_32cpu": thr32,
+            "total_sec_8cpu": results[8]["total_sec"],
+            "total_sec_32cpu": results[32]["total_sec"],
+        },
+        "sf": SF,
+        "num_cpus": [8, 32],
+        "n_pages": N_PAGES_SCALING,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        print(json.dumps(scaling_child(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    else:
+        main_bench()

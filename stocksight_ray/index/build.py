@@ -20,9 +20,11 @@ first-docids, so partition assembly concatenates them WITHOUT re-encoding
 (codec.concat_runs).  ``part = crc32(term) % num_partitions`` is the
 query-side routing key.
 
-Scale notes: the docs input is streamed (never materialized); tokenization is
-re-run for norms vs partials rather than pinning a tokens column in the
-object store — CPU trade chosen over a 100-TB materialization.
+Scale notes: tokenization runs ONCE; the tokenized (doc_id, tokens, doc_len)
+dataset is materialized into the object store and feeds both the norms write
+and the partials pass.  At 100-TB scale the object store spills the tokens
+column to disk — spill-once was measured cheaper than tokenize-twice (the
+analyzer dominates CPU); flip ``single_pass=False`` to trade back.
 """
 
 from __future__ import annotations
@@ -251,6 +253,7 @@ def build_index(
     tokenize_concurrency: Optional[int] = None,
     batch_size: int = 1024,
     extra_manifest: Optional[dict] = None,
+    single_pass: bool = True,
 ) -> dict:
     """Build a full index layout under ``out_dir`` from a Dataset of
     (id_col:int64, text_col:string).  Returns the manifest dict.
@@ -266,9 +269,10 @@ def build_index(
     if tokenize_concurrency is None:
         import ray
 
-        # leave slack so read / shuffle / write stages aren't starved
+        # autoscaling pool: start small (cheap for small inputs), grow to
+        # cpus-2 so read / shuffle / write stages aren't starved
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        tokenize_concurrency = max(2, cpus - 2)
+        tokenize_concurrency = (2, max(2, cpus - 2))
     tokenize_kwargs = dict(
         fn_constructor_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
@@ -276,10 +280,23 @@ def build_index(
         concurrency=tokenize_concurrency,
     )
 
-    # Pass 1 (streaming): norms table — the query-side doc_len store.
-    docs.map_batches(TokenizeStage, **tokenize_kwargs).select_columns(
-        ["doc_id", "doc_len"]
-    ).write_parquet(os.path.join(out_dir, "norms"))
+    if single_pass:
+        # ONE tokenize pass: materialize (doc_id, tokens, doc_len) and feed
+        # both consumers from the object store (spills at scale — see module
+        # docstring for the trade).
+        tokenized = docs.map_batches(TokenizeStage, **tokenize_kwargs).materialize()
+    else:
+        tokenized = None
+
+    def _tokens_ds():
+        if tokenized is not None:
+            return tokenized
+        return docs.map_batches(TokenizeStage, **tokenize_kwargs)
+
+    # Norms table — the query-side doc_len store.
+    _tokens_ds().select_columns(["doc_id", "doc_len"]).write_parquet(
+        os.path.join(out_dir, "norms")
+    )
 
     # Corpus stats from the written norms (cheap columnar scan, no shuffle).
     import pyarrow.dataset as pads
@@ -291,8 +308,8 @@ def build_index(
         total_len += int(pa.compute.sum(frag_batch["doc_len"]).as_py() or 0)
     avgdl = (total_len / n_docs) if n_docs else 0.0
 
-    # Pass 2 (streaming + 2 shuffles): postings.
-    partials = docs.map_batches(TokenizeStage, **tokenize_kwargs).map_batches(
+    # Postings (streaming + 2 shuffles).
+    partials = _tokens_ds().map_batches(
         make_spimi_partial(num_partitions, salt_range),
         batch_format="pyarrow",
         batch_size=batch_size,

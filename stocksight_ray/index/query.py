@@ -8,12 +8,18 @@ Replaces the ES/Lucene query side the reference reaches through Kibana
     tf_norm    = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
     score(d,q) = Σ_t idf(t) · tf_norm(t, d)
 
-Two scorers, required to agree exactly:
+Three scorers, required to agree exactly (same per-doc float summation
+order — query-term order — so even exact score ties match):
   * ``search(..., method="exhaustive")`` — term-at-a-time accumulation into a
     dense score array (obviously correct; the oracle baseline);
-  * ``search(..., method="wand")``       — document-at-a-time Block-Max WAND
-    over the compressed postings (the scale path: skips blocks whose upper
-    bound cannot reach the current top-k threshold).
+  * ``search(..., method="wand")``       — windowed Block-Max scorer: the
+    docid space is swept in fixed windows; a window is skipped without
+    decoding when the sum of per-term block-max upper bounds cannot beat the
+    running top-k threshold; surviving windows are scored with vectorized
+    numpy over the decoded blocks (the serving hot path);
+  * ``search(..., method="wand_doc")``   — classic per-document Block-Max
+    WAND with pivoting (the textbook reference; slower in CPython, kept for
+    cross-checking the pruning logic).
 
 Ties broken by doc_id ascending (explicit, so rank-identity is well-defined).
 Duplicate query terms are deduplicated (one contribution per distinct term).
@@ -40,13 +46,24 @@ from .build import term_partition
 
 
 class _TermPostings:
-    __slots__ = ("df", "cf", "meta", "payload")
+    __slots__ = ("df", "cf", "meta", "payload", "blocks")
 
     def __init__(self, df: int, cf: int, meta: np.ndarray, payload: bytes):
         self.df = df
         self.cf = cf
         self.meta = meta  # decoded block-meta structured array
         self.payload = payload
+        # cross-query decoded-block cache {block_idx: (docids, tfs)} — head
+        # terms recur across queries; a production deployment bounds this
+        # with an LRU keyed by (term, block).
+        self.blocks: Dict[int, tuple] = {}
+
+    def block(self, bi: int):
+        blk = self.blocks.get(bi)
+        if blk is None:
+            blk = codec.decode_block(self.payload, self.meta[bi])
+            self.blocks[bi] = blk
+        return blk
 
 
 class QueryEngine:
@@ -106,6 +123,13 @@ class QueryEngine:
     def lookup(self, term: str) -> Optional[_TermPostings]:
         return self._load_part(term_partition(term, self.num_partitions)).get(term)
 
+    def warm(self) -> None:
+        """Preload every index partition (term dictionary + block metadata).
+        A serving actor calls this once in __init__ so query latency never
+        pays cold parquet reads."""
+        for part in range(self.num_partitions):
+            self._load_part(part)
+
     def idf(self, df: int) -> float:
         return float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
 
@@ -132,20 +156,101 @@ class QueryEngine:
             return []
         if method == "exhaustive":
             return self._search_exhaustive(posts, k)
-        return self._search_wand(posts, k)
+        if method == "wand_doc":
+            return self._search_wand(posts, k)
+        return self._search_bmw(posts, k)
+
+    def _positions(self, docids: np.ndarray) -> np.ndarray:
+        """Map docids → dense accumulator slots (identity when ids are dense;
+        at 10^12 docs a serving actor holds one salt-range shard, so the
+        accumulator is shard-sized, not corpus-sized)."""
+        if self._dense:
+            return docids
+        return np.searchsorted(self._norm_ids, docids)
 
     def _search_exhaustive(self, posts, k: int) -> List[Tuple[int, float]]:
-        acc: Dict[int, float] = {}
-        for term, p in posts:
+        acc = np.zeros(self._norm_ids.size, dtype=np.float64)
+        touched = np.zeros(self._norm_ids.size, dtype=bool)
+        for term, p in posts:  # term-at-a-time: per-doc sum in query-term order
             w = self.idf(p.df)
-            docids, tfs = codec.decode_postings(p.meta.tobytes(), p.payload)
+            parts = [p.block(bi) for bi in range(p.meta.size)]
+            docids = np.concatenate([d for d, _ in parts])
+            tfs = np.concatenate([t for _, t in parts])
             dls = self.doc_lens(docids)
-            scores = w * codec.tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
-            for d, s in zip(docids.tolist(), scores.tolist()):
-                acc[d] = acc.get(d, 0.0) + s
-        # top-k by (-score, doc_id)
-        items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        return [(int(d), float(s)) for d, s in items]
+            pos = self._positions(docids)
+            acc[pos] += w * codec.tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
+            touched[pos] = True
+        idx = np.flatnonzero(touched)
+        scores = acc[idx]
+        docs = idx if self._dense else self._norm_ids[idx]
+        order = np.lexsort((docs, -scores))[:k]  # (-score, doc_id)
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+    # ------------------------------------------------------------------
+    def _search_bmw(self, posts, k: int) -> List[Tuple[int, float]]:
+        """Windowed block-max scorer (see module docstring)."""
+        terms = []
+        max_doc = 0
+        for qi, (_, p) in enumerate(posts):
+            w = self.idf(p.df)
+            ub = w * codec.block_upper_bounds(p.meta, self.avgdl, self.k1, self.b)
+            terms.append((qi, w, p, ub))
+            max_doc = max(max_doc, int(p.meta["last"][-1]))
+
+        W = 1 << 14  # window width in docid space
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+
+        for a in range(0, max_doc + 1, W):
+            b_end = a + W
+            overlaps = []
+            ub_sum = 0.0
+            for qi, w, p, ub in terms:
+                lo = int(np.searchsorted(p.meta["last"], a, side="left"))
+                hi = int(np.searchsorted(p.meta["first"], b_end, side="left"))
+                if hi > lo:
+                    ub_sum += float(ub[lo:hi].max())
+                    overlaps.append((qi, w, p, lo, hi))
+            if not overlaps:
+                continue
+            # Skip the whole window (no decode) when even the sum of block-max
+            # upper bounds cannot beat the running threshold. Strict '<' keeps
+            # tie-by-doc_id semantics exact.
+            if top_scores.size >= k and ub_sum < theta:
+                continue
+
+            acc = np.zeros(W, dtype=np.float64)
+            touched = np.zeros(W, dtype=bool)
+            for qi, w, p, lo, hi in overlaps:  # qi order == term order
+                for bi in range(lo, hi):
+                    docids, tfs = p.block(bi)
+                    s = int(np.searchsorted(docids, a, side="left"))
+                    e = int(np.searchsorted(docids, b_end, side="left"))
+                    if e <= s:
+                        continue
+                    d_slice = docids[s:e]
+                    dls = self.doc_lens(d_slice)
+                    sl = d_slice - a
+                    acc[sl] += w * codec.tf_norm(
+                        tfs[s:e], dls, self.avgdl, self.k1, self.b
+                    )
+                    touched[sl] = True
+            idx = np.flatnonzero(touched)
+            if idx.size == 0:
+                continue
+            scores = acc[idx]
+            docs = idx + a
+            # merge window candidates into the running top-k
+            all_scores = np.concatenate([top_scores, scores])
+            all_docs = np.concatenate([top_docs, docs])
+            order = np.lexsort((all_docs, -all_scores))[:k]
+            top_scores = all_scores[order]
+            top_docs = all_docs[order]
+            if top_scores.size >= k:
+                theta = float(top_scores[-1])
+
+        return [(int(d), float(s)) for d, s in zip(top_docs, top_scores)]
 
     # ------------------------------------------------------------------
     class _Cursor:

@@ -52,11 +52,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 
 
 def clean_filter_batch(batch: pa.Table) -> pa.Table:
-    """P4 + P2: add text_clean; drop rows empty after cleaning."""
+    """P4 + P2: add text_clean; drop rows empty after cleaning.  Also drops
+    ``html`` — dead weight after extraction, and it would otherwise dominate
+    the bytes moved by the dedup / doc-id shuffles downstream (~3x volume)."""
     clean = clean_text_array(batch["text"])
     batch = batch.append_column("text_clean", clean)
     mask = pa.compute.greater(pa.compute.utf8_length(clean), 0)
-    return batch.filter(mask)
+    keep = [c for c in batch.column_names if c != "html"]
+    return batch.select(keep).filter(mask)
 
 
 def _bucket_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -198,7 +201,9 @@ def ingest_webtext(
 
     if enrich_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        enrich_concurrency = max(2, cpus - 2)
+        # autoscaling pool: small floor (fast start on small inputs), ceiling
+        # sized to the node so the stage can saturate when blocks are many
+        enrich_concurrency = (2, max(2, cpus - 2))
 
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(clean_filter_batch, batch_format="pyarrow", batch_size=batch_size)

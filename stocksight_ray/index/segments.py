@@ -1,0 +1,316 @@
+"""Resumable, segment-based index build (north rule: per-partition
+checkpoints, lineage, throughput metrics; SURVEY.md §4 checkpoint/resume).
+
+The corpus is split into SHARDS of contiguous doc_id ranges (aligned to the
+salt range).  Each shard builds an independent SEGMENT — the same SPIMI
+pipeline as ``build.build_index`` restricted to its range — and commits
+atomically:
+
+    out/segments/shard-{i:05d}/part-{p:05d}.parquet   postings runs
+    out/segments/shard-{i:05d}/norms.parquet          (doc_id, doc_len)
+    out/segments/shard-{i:05d}/lineage.json           inputs, counts, wall,
+                                                      docs/s, versions
+    out/segments/shard-{i:05d}/_SUCCESS               commit marker
+
+A re-run SKIPS every shard with a marker (resume = re-invoke; at most the
+one in-flight shard is rebuilt).  Because shard ranges are disjoint,
+increasing, and salt-aligned, final assembly concatenates each term's
+encoded block runs WITHOUT re-encoding (codec.concat_runs) — one cheap
+parallel pass per index partition, also atomic.  The final index layout and
+query results are IDENTICAL to the single-pass builder's (tested).
+
+Incremental ingest (reference W1: the unbounded poll loop): new documents
+get doc_ids beyond the current maximum → they form new shards; re-running
+``build_resumable`` + ``assemble`` folds them in — the Ray-native analogue
+of ES adding and merging Lucene segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import codec
+from .build import (
+    DEFAULT_NUM_PARTITIONS,
+    DEFAULT_SALT_RANGE,
+    TokenizeStage,
+    make_spimi_partial,
+    merge_bucket,
+)
+
+FORMAT_VERSION = 1
+
+
+def _shard_dir(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, "segments", f"shard-{shard:05d}")
+
+
+def build_segment(
+    docs,
+    out_dir: str,
+    shard: int,
+    lo: int,
+    hi: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "english",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_range: int = DEFAULT_SALT_RANGE,
+    batch_size: int = 1024,
+) -> dict:
+    """Build one shard segment over doc_ids in [lo, hi).  Atomic commit via
+    tmp-dir rename; returns the lineage record."""
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    seg = _shard_dir(out_dir, shard)
+    tmp = seg + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    sub = docs.filter(expr=f"{id_col} >= {lo} and {id_col} < {hi}")
+    tokenize_kwargs = dict(
+        fn_constructor_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(2, 8),
+    )
+    tokenized = sub.map_batches(TokenizeStage, **tokenize_kwargs).materialize()
+
+    # norms + stats
+    norms = tokenized.select_columns(["doc_id", "doc_len"]).to_pandas()
+    norms = norms.sort_values("doc_id", kind="stable")
+    pq.write_table(pa.Table.from_pandas(norms, preserve_index=False),
+                   os.path.join(tmp, "norms.parquet"))
+    n_docs = len(norms)
+    total_len = int(norms["doc_len"].sum())
+
+    partials = tokenized.map_batches(
+        make_spimi_partial(num_partitions, salt_range),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    merged = partials.groupby(["part", "salt"]).map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+    def write_part(group: pd.DataFrame) -> pd.DataFrame:
+        part = int(group["part"].iloc[0])
+        group = group.sort_values(["term", "salt"], kind="stable")
+        terms, dfs, cfs, metas, payloads = [], [], [], [], []
+        for term, g in group.groupby("term", sort=True):
+            meta_b, payload = codec.concat_runs(list(zip(g["meta"], g["payload"])))
+            terms.append(term)
+            dfs.append(int(g["df"].sum()))
+            cfs.append(int(g["cf"].sum()))
+            metas.append(meta_b)
+            payloads.append(payload)
+        tbl = pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "cf": pa.array(cfs, pa.int64()),
+                "meta": pa.array(metas, pa.binary()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(tmp, f"part-{part:05d}.parquet"))
+        return pd.DataFrame({"part": [part], "n_terms": [len(terms)]})
+
+    part_rows = (
+        merged.groupby("part").map_groups(write_part, batch_format="pandas").to_pandas()
+    )
+
+    wall = time.time() - t0
+    lineage = {
+        "shard": shard,
+        "doc_id_lo": lo,
+        "doc_id_hi": hi,
+        "n_docs": n_docs,
+        "total_terms": total_len,
+        "n_parts_written": int(len(part_rows)),
+        "analyzer": analyzer,
+        "num_partitions": num_partitions,
+        "salt_range": salt_range,
+        "format_version": FORMAT_VERSION,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / max(wall, 1e-9), 1),
+    }
+    with open(os.path.join(tmp, "lineage.json"), "w") as f:
+        json.dump(lineage, f, indent=1)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    shutil.rmtree(seg, ignore_errors=True)
+    os.replace(tmp, seg)  # atomic commit
+    return lineage
+
+
+def build_resumable(
+    docs,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "english",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_range: int = DEFAULT_SALT_RANGE,
+    shard_docs: int = DEFAULT_SALT_RANGE,
+    batch_size: int = 1024,
+    max_shards: Optional[int] = None,
+) -> dict:
+    """Sharded resumable build.  ``shard_docs`` must be a multiple of
+    ``salt_range`` (keeps shard runs salt-aligned so assembly is pure
+    concatenation).  ``max_shards`` stops early (used by the kill/resume
+    test to simulate a crash).  Returns the manifest from ``assemble`` (or
+    a partial-progress dict when stopped early)."""
+    assert shard_docs % salt_range == 0 or shard_docs == salt_range or salt_range % shard_docs == 0, (
+        "shard_docs must align with salt_range"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    # shard planning: [0, max_doc_id] in fixed ranges — derived from data,
+    # O(1) driver state
+    max_id = int(docs.max(id_col))
+    n_shards = max_id // shard_docs + 1
+    built: List[dict] = []
+    todo = range(n_shards) if max_shards is None else range(min(n_shards, max_shards))
+    for shard in todo:
+        seg = _shard_dir(out_dir, shard)
+        marker = os.path.join(seg, "_SUCCESS")
+        if os.path.exists(marker):
+            with open(os.path.join(seg, "lineage.json")) as f:
+                built.append(json.load(f))
+            continue
+        built.append(
+            build_segment(
+                docs, out_dir, shard,
+                shard * shard_docs, (shard + 1) * shard_docs,
+                text_col=text_col, id_col=id_col, analyzer=analyzer,
+                num_partitions=num_partitions, salt_range=salt_range,
+                batch_size=batch_size,
+            )
+        )
+    if max_shards is not None and max_shards < n_shards:
+        return {"partial": True, "shards_built": len(built), "n_shards": n_shards}
+    return assemble(out_dir, analyzer=analyzer, num_partitions=num_partitions,
+                    salt_range=salt_range)
+
+
+def assemble(
+    out_dir: str,
+    *,
+    analyzer: str = "english",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_range: int = DEFAULT_SALT_RANGE,
+) -> dict:
+    """Final assembly: per index partition, concatenate every committed
+    shard's encoded runs per term (shard order = docid order → valid
+    concat_runs input).  One parallel Ray-Data pass over partition ids;
+    atomic per-partition writes; manifest written last."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    seg_root = os.path.join(out_dir, "segments")
+    shards = sorted(
+        int(d.split("-")[1])
+        for d in os.listdir(seg_root)
+        if d.startswith("shard-") and os.path.exists(os.path.join(seg_root, d, "_SUCCESS"))
+    )
+    lineages = []
+    for s in shards:
+        with open(os.path.join(seg_root, f"shard-{s:05d}", "lineage.json")) as f:
+            lineages.append(json.load(f))
+
+    t0 = time.time()
+    os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "norms"), exist_ok=True)
+
+    def assemble_part(batch: pa.Table) -> pa.Table:
+        out_rows = {"part": [], "n_terms": [], "n_postings": [], "bytes": []}
+        for part in batch["part"].to_pylist():
+            frames = []
+            for s in shards:
+                p = os.path.join(seg_root, f"shard-{s:05d}", f"part-{part:05d}.parquet")
+                if os.path.exists(p):
+                    t = pq.read_table(p)
+                    if t.num_rows:
+                        frames.append(t.to_pandas().assign(_shard=s))
+            if not frames:
+                continue
+            allp = pd.concat(frames, ignore_index=True)
+            terms, dfs, cfs, metas, payloads = [], [], [], [], []
+            for term, g in allp.groupby("term", sort=True):
+                g = g.sort_values("_shard", kind="stable")  # docid order
+                meta_b, payload = codec.concat_runs(list(zip(g["meta"], g["payload"])))
+                terms.append(term)
+                dfs.append(int(g["df"].sum()))
+                cfs.append(int(g["cf"].sum()))
+                metas.append(meta_b)
+                payloads.append(payload)
+            tbl = pa.table(
+                {
+                    "term": pa.array(terms, pa.string()),
+                    "df": pa.array(dfs, pa.int64()),
+                    "cf": pa.array(cfs, pa.int64()),
+                    "meta": pa.array(metas, pa.binary()),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            )
+            final = os.path.join(out_dir, "index", f"part-{part:05d}.parquet")
+            pq.write_table(tbl, final + ".tmp")
+            os.replace(final + ".tmp", final)
+            out_rows["part"].append(part)
+            out_rows["n_terms"].append(len(terms))
+            out_rows["n_postings"].append(int(sum(dfs)))
+            out_rows["bytes"].append(os.path.getsize(final))
+        return pa.table({k: pa.array(v) for k, v in out_rows.items()})
+
+    stats = (
+        rd.from_items([{"part": p} for p in range(num_partitions)])
+        .map_batches(assemble_part, batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+
+    # norms: copy shard norms into the final layout (atomic per file)
+    for s in shards:
+        src = os.path.join(seg_root, f"shard-{s:05d}", "norms.parquet")
+        dst = os.path.join(out_dir, "norms", f"shard-{s:05d}.parquet")
+        t = pq.read_table(src)
+        pq.write_table(t, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+
+    n_docs = int(sum(l["n_docs"] for l in lineages))
+    total_len = int(sum(l["total_terms"] for l in lineages))
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "num_docs": n_docs,
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "total_terms": total_len,
+        "analyzer": analyzer,
+        "k1": codec.K1,
+        "b": codec.B,
+        "block_size": codec.BLOCK_SIZE,
+        "num_partitions": num_partitions,
+        "salt_range": salt_range,
+        "segments": lineages,
+        "partitions": sorted(stats.to_dict("records"), key=lambda r: r["part"]),
+        "assemble_wall_sec": round(time.time() - t0, 3),
+        "build_docs_per_sec_sum": round(
+            sum(l["docs_per_sec"] for l in lineages), 1
+        ),
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=int)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest

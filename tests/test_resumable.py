@@ -1,0 +1,106 @@
+"""Resumable segment build: equivalence with the single-pass builder,
+kill/resume behavior, lineage records (SURVEY.md §5.5)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, webtext_table):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+
+    ds = ingest_webtext(rd.from_arrow(webtext_table), enrich_concurrency=2, batch_size=128)
+    return ds.drop_columns(["tokens"]).materialize()
+
+
+QUERIES = [
+    "stock market earnings", "investor fears", "quarterly report",
+    "running traditional", "buy sell hold", "technology energy",
+]
+
+
+def _results(index_dir):
+    from stocksight_ray.index.query import QueryEngine
+
+    eng = QueryEngine(index_dir)
+    return {q: eng.search(q, k=10) for q in QUERIES}
+
+
+def test_sharded_build_matches_single_pass(ray_session, docs_ds, tmp_path):
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.segments import build_resumable
+
+    single = str(tmp_path / "single")
+    sharded = str(tmp_path / "sharded")
+    build_index(
+        docs_ds, single, text_col="text_clean",
+        num_partitions=8, salt_range=256, batch_size=128,
+    )
+    manifest = build_resumable(
+        docs_ds, sharded, text_col="text_clean",
+        num_partitions=8, salt_range=256, shard_docs=256, batch_size=128,
+    )
+    assert manifest["num_docs"] > 0
+    with open(os.path.join(single, "manifest.json")) as f:
+        m1 = json.load(f)
+    assert manifest["num_docs"] == m1["num_docs"]
+    assert manifest["avgdl"] == pytest.approx(m1["avgdl"])
+    assert len(manifest["segments"]) >= 2  # corpus spans multiple shards
+    assert _results(single) == _results(sharded)
+
+
+def test_kill_resume(ray_session, docs_ds, tmp_path):
+    from stocksight_ray.index.segments import build_resumable
+
+    out = str(tmp_path / "resume")
+    fresh = str(tmp_path / "fresh")
+
+    partial = build_resumable(
+        docs_ds, out, text_col="text_clean",
+        num_partitions=8, salt_range=256, shard_docs=256, batch_size=128,
+        max_shards=1,
+    )
+    assert partial.get("partial") is True
+    # shard 0 committed, later shards absent — the "crash" point
+    assert os.path.exists(os.path.join(out, "segments", "shard-00000", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+    lineage0 = json.load(
+        open(os.path.join(out, "segments", "shard-00000", "lineage.json"))
+    )
+
+    # resume: shard 0 must be SKIPPED (lineage identical object), rest built
+    manifest = build_resumable(
+        docs_ds, out, text_col="text_clean",
+        num_partitions=8, salt_range=256, shard_docs=256, batch_size=128,
+    )
+    assert manifest["segments"][0] == lineage0  # untouched checkpoint
+    assert all("docs_per_sec" in s and "wall_sec" in s for s in manifest["segments"])
+
+    build_resumable(
+        docs_ds, fresh, text_col="text_clean",
+        num_partitions=8, salt_range=256, shard_docs=256, batch_size=128,
+    )
+    assert _results(out) == _results(fresh)
+
+
+def test_resume_idempotent(ray_session, docs_ds, tmp_path):
+    """Running the build twice changes nothing (dedup/property test)."""
+    from stocksight_ray.index.segments import build_resumable
+
+    out = str(tmp_path / "idem")
+    m1 = build_resumable(
+        docs_ds, out, text_col="text_clean",
+        num_partitions=4, salt_range=256, shard_docs=256, batch_size=128,
+    )
+    r1 = _results(out)
+    m2 = build_resumable(
+        docs_ds, out, text_col="text_clean",
+        num_partitions=4, salt_range=256, shard_docs=256, batch_size=128,
+    )
+    assert m2["segments"] == m1["segments"]
+    assert _results(out) == r1

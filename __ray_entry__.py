@@ -424,6 +424,54 @@ def q26_webtext_ingest(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q27_news_headlines(sf_dir: str):
+    """News mode (reference NewsHeadlineListener): <h3> extraction →
+    dedup → admission + sentiment.  Deterministic synthetic corpus."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.news import news_pipeline
+    from stocksight_ray.webtext import generate_table
+
+    ds = rd.from_arrow(generate_table(800, seed=42))
+    out = news_pipeline(ds, enrich_concurrency=2).to_pandas()
+    out["polarity"] = out["polarity"].round(6)
+    out["subjectivity"] = out["subjectivity"].round(6)
+    return out.sort_values(["message"]).reset_index(drop=True)
+
+
+def q28_sentiment_dashboard(sf_dir: str):
+    """Kibana-dashboard closure over the enriched webtext docs table:
+    terms agg on sentiment (size 5), metric aggs + exact median on
+    polarity, 2h date_histogram of doc counts — the reference's
+    export.json panels as one summary frame (rows-only)."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.aggs import (
+        date_histogram, exact_median, metric_aggs, terms_topk,
+    )
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+    from stocksight_ray.webtext import generate_table
+
+    ds = rd.from_arrow(generate_table(800, seed=42))
+    docs = ingest_webtext(ds).drop_columns(["tokens"]).materialize()
+
+    sent = terms_topk(docs, "sentiment", k=5).to_pandas()
+    pol = metric_aggs(docs, "polarity")
+    med = exact_median(docs, "polarity")
+    hist = date_histogram(docs, "warc_ts", 7200).to_pandas()
+
+    rows = []
+    for _, r in sent.iterrows():
+        rows.append(("sentiment_terms", str(r["sentiment"]), float(r["cnt"])))
+    rows.append(("polarity_avg", "", round(float(pol["avg_polarity"].iloc[0]), 6)))
+    rows.append(("polarity_min", "", round(float(pol["min_polarity"].iloc[0]), 6)))
+    rows.append(("polarity_max", "", round(float(pol["max_polarity"].iloc[0]), 6)))
+    rows.append(("polarity_median", "", round(float(med), 6)))
+    rows.append(("histogram_buckets", "", float(len(hist))))
+    rows.append(("histogram_docs", "", float(hist["cnt"].sum())))
+    return pd.DataFrame(rows, columns=["panel", "key", "value"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -452,6 +500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_ivf_knn": q24_ivf_knn,
         "q25_image_features": q25_image_features,
         "q26_webtext_ingest": q26_webtext_ingest,
+        "q27_news_headlines": q27_news_headlines,
+        "q28_sentiment_dashboard": q28_sentiment_dashboard,
     }
 
 

@@ -472,6 +472,120 @@ def q28_sentiment_dashboard(sf_dir: str):
     return pd.DataFrame(rows, columns=["panel", "key", "value"])
 
 
+def q29_asof_join(sf_dir: str):
+    """Backward as-of join: each event picks the latest order (by bucketed
+    key) with o_orderdate <= ts — pad+union, one groupby shuffle,
+    vectorized merge_asof per key (pipelines/joins.py)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from stocksight_ray.pipelines.joins import asof_join
+
+    def key_events(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k": pc.cast(
+                    pc.subtract(
+                        batch["user_id"],
+                        pc.multiply(pc.divide(batch["user_id"], 50), 50),
+                    ),
+                    pa.int64(),
+                ),
+                "ts": batch["ts"],
+            }
+        )
+
+    def key_orders(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "k": pc.cast(
+                    pc.subtract(
+                        batch["o_custkey"],
+                        pc.multiply(pc.divide(batch["o_custkey"], 50), 50),
+                    ),
+                    pa.int64(),
+                ),
+                "o_orderdate": batch["o_orderdate"],
+                "value": batch["o_totalprice"],
+            }
+        )
+        g = pa.TableGroupBy(t, ["k", "o_orderdate"]).aggregate([("value", "max")])
+        return g.rename_columns(["k", "o_orderdate", "value"])
+
+    left = _events(sf_dir).map_batches(key_events, batch_format="pyarrow")
+    # determinism guard: unique (k, o_orderdate) globally — max(value);
+    # per-batch max in key_orders is the local combine
+    right = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(key_orders, batch_format="pyarrow")
+        .groupby(["k", "o_orderdate"])
+        .aggregate(Max("value", alias_name="value"))
+    )
+    out = asof_join(
+        left, right, by="k", left_ts="ts", right_ts="o_orderdate",
+        right_value="value",
+    )
+    return out.select_columns(["event_id", "k", "value"])
+
+
+def q30_rolling_mean(sf_dir: str):
+    """Trailing 5-row mean of event value per user (windowed aggregate)."""
+    from stocksight_ray.pipelines.joins import rolling_mean
+
+    out = rolling_mean(
+        _events(sf_dir), key="user_id", order_cols=["ts", "event_id"],
+        value="value", window=5, id_cols=["event_id"],
+    ).to_pandas()
+    return _round_cols(out, {"rmean": 6})
+
+
+def q31_url_extract(sf_dir: str):
+    """P3 url extraction over the synthetic webtext text column
+    (sentiment.py:88-90); rows-only (corpus is package-generated)."""
+    import ray.data as rd
+
+    from stocksight_ray.functions.clean import extract_urls_batch
+    from stocksight_ray.webtext import generate_table
+
+    ds = rd.from_arrow(generate_table(800, seed=42))
+    out = ds.map_batches(
+        lambda b: extract_urls_batch(b, "text"), batch_format="pyarrow"
+    )
+    return out.select_columns(["url", "n_urls"])
+
+
+def q32_prices_pipeline(sf_dir: str):
+    """Stock-price parity chain over the seeded prices fixture: last
+    non-null pick + pct change + daily OHLC (rows-only, deterministic)."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.stockprice import (
+        generate_prices, latest_nonnull, ohlc_bucket, pct_change_last,
+    )
+
+    prices = rd.from_arrow(generate_prices(days=2)).materialize()
+    last = latest_nonnull(
+        prices, "symbol", "ts", ["close", "high", "low", "volume"]
+    ).to_pandas()
+    chg = pct_change_last(prices, "symbol", "ts", "close").to_pandas()
+    ohlc = ohlc_bucket(prices, "symbol", "ts", "close", 86400).to_pandas()
+    last = last.merge(chg, on="symbol")
+    last["n_ohlc_buckets"] = last["symbol"].map(
+        ohlc.groupby("symbol").size()
+    ).astype(int)
+    for c in ["last_close", "last_high", "last_low", "change"]:
+        last[c] = last[c].astype(float).round(6)
+    return last.drop(columns=["last_ts"]).sort_values("symbol").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -502,6 +616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_webtext_ingest": q26_webtext_ingest,
         "q27_news_headlines": q27_news_headlines,
         "q28_sentiment_dashboard": q28_sentiment_dashboard,
+        "q29_asof_join": q29_asof_join,
+        "q30_rolling_mean": q30_rolling_mean,
+        "q31_url_extract": q31_url_extract,
+        "q32_prices_pipeline": q32_prices_pipeline,
     }
 
 
@@ -603,6 +721,18 @@ def oracle_sql() -> dict[str, str]:
             "  FROM scored) "
             "SELECT query_idx, rank, vec_id, round(s, 6) AS score "
             "FROM ranked WHERE rank < 10 ORDER BY query_idx, rank"
+        ),
+        "q29_asof_join": (
+            "WITH a AS (SELECT event_id, user_id % 50 AS k, ts FROM events), "
+            "b AS (SELECT o_custkey % 50 AS k, o_orderdate, "
+            "max(o_totalprice) AS value FROM orders GROUP BY 1, 2) "
+            "SELECT a.event_id, a.k, b.value FROM a ASOF JOIN b "
+            "ON a.k = b.k AND a.ts >= b.o_orderdate"
+        ),
+        "q30_rolling_mean": (
+            "SELECT event_id, round(avg(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rmean FROM events"
         ),
         "q17_events_ohlc": (
             "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)"

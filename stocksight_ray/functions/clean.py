@@ -63,3 +63,26 @@ def clean_text_sentiment_array(arr: pa.Array) -> pa.Array:
 def clean_batch(batch: pa.Table, col: str = "text", out: str = "text_clean") -> pa.Table:
     """map_batches kernel: adds a cleaned column (stateless, vectorized)."""
     return batch.append_column(out, clean_text_array(batch[col]))
+
+
+URL_RE = re.compile(r"(https?://[^\s]+)")
+
+
+def extract_urls(text: str):
+    """P3: url extraction from text — the reference's
+    ``re.findall(r'(https?://[^\\s]+)', text)`` at
+    /root/reference/sentiment.py:88-90 (used with ``-l`` link-following)."""
+    return URL_RE.findall(text or "")
+
+
+def extract_urls_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    texts = batch[col].to_pylist()
+    urls = [URL_RE.findall(t or "") for t in texts]
+    import numpy as np
+
+    return batch.append_column(
+        "urls", pa.array(urls, pa.list_(pa.string()))
+    ).append_column(
+        "n_urls",
+        pa.array(np.fromiter((len(u) for u in urls), np.int64, len(urls))),
+    )

@@ -188,9 +188,14 @@ def ingest_webtext(
     tokens_ignored: Tuple[str, ...] = (),
     min_tokens: int = 5,
     batch_size: int = 512,
+    langs: Optional[Tuple[str, ...]] = None,
 ):
     """Full ingest. Returns the enriched Dataset (lazy); if out_dir is given,
-    also writes docs/ (without tokens) and returns the written Dataset."""
+    also writes docs/ (without tokens) and returns the written Dataset.
+
+    ``langs``: admission predicate on the lang column — the webtext analogue
+    of the reference's author-quality / language track filter (F4,
+    /root/reference/sentiment.py:154-161 and languages=['en'] at :965)."""
     import ray
     import ray.data as rd
 
@@ -198,6 +203,9 @@ def ingest_webtext(
         ds = rd.read_parquet(input_path, columns=["url", "warc_ts", "html", "lang"])
     else:
         ds = input_path
+    if langs:
+        lang_list = list(langs)
+        ds = ds.filter(expr=f"lang in {lang_list}")
 
     if enrich_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -1,0 +1,122 @@
+"""Join operators Ray Data lacks natively, built as shuffle + per-group
+vectorized merges (SURVEY.md §2.7; custom-operator guidance: composition of
+map_batches + groupby().map_groups + sort).
+
+Partitioning assumption (documented per the custom-operator contract): both
+sides hash-partition on the ``by`` key — one shuffle each — and each group
+fits a task's memory (time-series per key; salt wide keys upstream if a
+single key's history is huge).
+
+* ``asof_join``   backward as-of (latest right row with right_ts <= left_ts
+  per key) — the sentiment×price time-alignment the reference does visually
+  in Kibana (shared time axis, /root/reference/export.json dashboard).
+* ``rolling_mean`` per-key trailing-window mean ordered by explicit columns
+  (windowed aggregate family).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    inner: bool = True,
+):
+    """Backward as-of join: for each left row, the latest right row of the
+    same ``by`` key with ``right_ts <= left_ts`` (exact matches included).
+
+    Implementation: pad both sides to a common schema with a ``_side`` tag,
+    union (no shuffle), ONE ``groupby(by)`` shuffle, then a vectorized
+    ``pd.merge_asof`` per key group.  Right side must be unique per
+    (by, right_ts) for determinism — enforce upstream (e.g. pre-aggregate).
+    """
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch[c] for c in batch.column_names}
+        cols["_ts"] = batch[left_ts].cast(pa.timestamp("us"))
+        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols[right_value] = pa.nulls(n, pa.float64())
+        return pa.table(cols)
+
+    schema = left.schema()
+    left_cols = list(schema.names)
+    left_types = dict(zip(schema.names, schema.types))
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in left_cols:
+            if c == by:
+                cols[c] = batch[by]
+            elif c == left_ts:
+                cols[c] = pa.nulls(n, pa.timestamp("us"))
+            else:
+                cols[c] = pa.nulls(n, left_types[c])
+        cols["_ts"] = batch[right_ts].cast(pa.timestamp("us"))
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols[right_value] = batch[right_value].cast(pa.float64())
+        return pa.table(cols)
+
+    lpad = left.map_batches(pad_left, batch_format="pyarrow")
+    rpad = right.map_batches(pad_right, batch_format="pyarrow")
+    both = lpad.union(rpad)
+
+    out_cols = [c for c in left_cols if c != left_ts] + [right_value]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["_side"] == 0].sort_values("_ts", kind="stable")
+        r = group[group["_side"] == 1].sort_values("_ts", kind="stable")
+        if l.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        if r.empty:
+            if inner:
+                return pd.DataFrame({c: [] for c in out_cols})
+            l = l.copy()
+            return l[out_cols]
+        j = pd.merge_asof(
+            l.drop(columns=[right_value]),
+            r[["_ts", right_value]],
+            on="_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        if inner:
+            j = j[j[right_value].notna()]
+        return j[out_cols]
+
+    return both.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def rolling_mean(
+    ds,
+    *,
+    key: str,
+    order_cols: Sequence[str],
+    value: str,
+    window: int,
+    out: str = "rmean",
+    id_cols: Optional[Sequence[str]] = None,
+):
+    """Per-key trailing-window mean (ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW), ordered by ``order_cols``.  One groupby(key) shuffle,
+    vectorized pandas rolling per group."""
+    keep = list(id_cols) if id_cols else None
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="stable").copy()
+        g[out] = g[value].rolling(window, min_periods=1).mean()
+        return g[keep + [out]] if keep else g
+
+    return ds.groupby(key).map_groups(roll, batch_format="pandas")

@@ -1,0 +1,153 @@
+"""asof_join / rolling_mean operators vs pandas oracles (interleaved
+timestamps, missing keys, exact-match boundaries)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _mk(ts_offsets):
+    base = datetime(2022, 1, 1)
+    return [base + timedelta(minutes=int(m)) for m in ts_offsets]
+
+
+def test_asof_join_interleaved(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import asof_join
+
+    left = pa.table(
+        {
+            "id": pa.array(range(8), pa.int64()),
+            "k": pa.array([1, 1, 1, 2, 2, 3, 3, 9], pa.int64()),
+            "lts": pa.array(_mk([10, 25, 5, 12, 40, 7, 8, 10]), pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "rts": pa.array(_mk([0, 10, 20, 15, 30, 8]), pa.timestamp("us")),
+            "price": pa.array([100.0, 110.0, 120.0, 200.0, 210.0, 300.0]),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_ts="lts", right_ts="rts", right_value="price",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .set_index("id")
+    )
+    exp = pd.merge_asof(
+        left.to_pandas().sort_values("lts"),
+        right.to_pandas().sort_values("rts").rename(columns={"rts": "lts", "price": "price"}),
+        on="lts", by="k", direction="backward", allow_exact_matches=True,
+    ).dropna(subset=["price"]).set_index("id")
+    assert sorted(got.index) == sorted(exp.index)
+    for i in exp.index:
+        assert got.loc[i, "price"] == exp.loc[i, "price"]
+    # exact-match boundary: id=0 (k=1, t=10) must take the t=10 row (110)
+    assert got.loc[0, "price"] == 110.0
+    # id=2 (k=1, t=5) takes t=0 row; id=7 (k=9) has no right side → dropped
+    assert got.loc[2, "price"] == 100.0
+    assert 7 not in got.index
+
+
+def test_asof_join_outer(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import asof_join
+
+    left = pa.table(
+        {
+            "id": pa.array([0, 1], pa.int64()),
+            "k": pa.array([1, 9], pa.int64()),
+            "lts": pa.array(_mk([10, 10]), pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "rts": pa.array(_mk([5]), pa.timestamp("us")),
+            "price": pa.array([42.0]),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_ts="lts", right_ts="rts", right_value="price",
+            inner=False,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert len(got) == 2
+    assert got.iloc[0]["price"] == 42.0
+    assert pd.isna(got.iloc[1]["price"])
+
+
+def test_rolling_mean(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import rolling_mean
+
+    rng = np.random.RandomState(1)
+    n = 200
+    t = pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "k": pa.array(rng.randint(0, 5, n), pa.int64()),
+            "ts": pa.array(_mk(rng.permutation(n)), pa.timestamp("us")),
+            "v": pa.array(rng.rand(n) * 100),
+        }
+    )
+    got = (
+        rolling_mean(
+            rd.from_arrow(t), key="k", order_cols=["ts", "rid"], value="v",
+            window=5, id_cols=["rid"],
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    pdf = t.to_pandas()
+    exp = []
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values(["ts", "rid"])
+        r = g["v"].rolling(5, min_periods=1).mean()
+        exp.extend(zip(g["rid"], r))
+    exp = pd.DataFrame(exp, columns=["rid", "rmean"]).sort_values("rid").reset_index(drop=True)
+    np.testing.assert_allclose(got["rmean"], exp["rmean"], rtol=1e-12)
+
+
+def test_url_extract_and_lang_filter(ray_session, webtext_table):
+    import ray.data as rd
+
+    from stocksight_ray.functions.clean import extract_urls, extract_urls_batch
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+
+    assert extract_urls("see https://a.b/c and http://d.e f") == [
+        "https://a.b/c", "http://d.e",
+    ]
+    out = (
+        rd.from_arrow(webtext_table)
+        .map_batches(lambda b: extract_urls_batch(b, "text"), batch_format="pyarrow")
+        .to_pandas()
+    )
+    import re
+
+    pat = re.compile(r"(https?://[^\s]+)")
+    for _, r in out.head(50).iterrows():
+        assert list(r["urls"]) == pat.findall(r["text"] or "")
+
+    only_en = ingest_webtext(
+        rd.from_arrow(webtext_table), enrich_concurrency=2, batch_size=128,
+        langs=("en",),
+    ).to_pandas()
+    assert set(only_en["lang"]) == {"en"}
+    langs_in = set(webtext_table.column("lang").to_pylist())
+    assert langs_in - {"en"}  # corpus does contain non-en rows

@@ -384,6 +384,82 @@ class QueryEngine:
         return [(int(-nd), float(s)) for s, nd in out]
 
     # ------------------------------------------------------------------
+    def search_and(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Conjunctive (operator=AND) match: only docs containing EVERY
+        query term, scored with the same BM25 sum (ES ``match`` with
+        ``operator: and``).  Vectorized: smallest-df term first, running
+        intersection of decoded docid arrays, then score the survivors."""
+        if k <= 0:
+            return []
+        terms = self.analyze_query(query)
+        posts = [(t, self.lookup(t)) for t in terms]
+        if not posts or any(p is None for _, p in posts):
+            return []  # a missing term empties the conjunction
+        posts_sorted = sorted(posts, key=lambda tp: tp[1].df)
+        cand: Optional[np.ndarray] = None
+        decoded = {}
+        for t, p in posts_sorted:
+            parts = [p.block(bi) for bi in range(p.meta.size)]
+            ids = np.concatenate([d for d, _ in parts])
+            tfs = np.concatenate([x for _, x in parts])
+            decoded[t] = (ids, tfs)
+            cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
+            if cand.size == 0:
+                return []
+        # score candidates in query-term order (same float order as OR path)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        dls = self.doc_lens(cand)
+        for t, p in posts:  # original order
+            ids, tfs = decoded[t]
+            pos = np.searchsorted(ids, cand)
+            scores += self.idf(p.df) * codec.tf_norm(
+                tfs[pos], dls, self.avgdl, self.k1, self.b
+            )
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
+    def search_phrase(
+        self, query: str, k: int = 10, docs_path: Optional[str] = None,
+        text_col: Optional[str] = None,
+    ) -> List[Tuple[int, float]]:
+        """Phrase match (ES ``match_phrase``, the reference's Kibana
+        saved-search filter): conjunctive candidates from the index, then
+        exact consecutive-terms verification against the docs table (the
+        index stores no positions — re-verification against `_source` is the
+        standard positionless design; at scale the docs read prunes to the
+        candidate row groups via a doc_id filter)."""
+        import pyarrow.dataset as pads
+        import pyarrow.compute as pc_
+
+        docs_path = docs_path or self.manifest.get("docs_path")
+        text_col = text_col or self.manifest.get("docs_text_col", "text")
+        if docs_path is None:
+            raise ValueError("search_phrase needs docs_path (or manifest docs_path)")
+        terms = [t for t in self._analyze(query)]  # keep duplicates + order
+        if not terms:
+            return []
+        cand_scored = self.search_and(" ".join(dict.fromkeys(terms)), k=1 << 30)
+        if not cand_scored:
+            return []
+        cand_ids = np.array([d for d, _ in cand_scored], dtype=np.int64)
+        score_of = dict(cand_scored)
+        dset = pads.dataset(docs_path)
+        tbl = dset.to_table(
+            columns=["doc_id", text_col],
+            filter=pads.field("doc_id").isin(pa.array(cand_ids)),
+        )
+        out = []
+        n = len(terms)
+        for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl[text_col].to_pylist()):
+            toks = self._analyze(text or "")
+            for i in range(len(toks) - n + 1):
+                if toks[i : i + n] == terms:
+                    out.append((int(doc_id), float(score_of[int(doc_id)])))
+                    break
+        out.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return out[:k]
+
+    # ------------------------------------------------------------------
     def search_table(self, query: str, k: int = 10, method: str = "wand") -> pa.Table:
         hits = self.search(query, k, method)
         return pa.table(

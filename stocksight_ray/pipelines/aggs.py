@@ -153,3 +153,54 @@ def exact_median(ds, col: str) -> float:
     splits = sorted_ds.split_at_indices([lo, hi + 1])
     vals = [float(r[col]) for r in splits[1].take_all()]
     return float(sum(vals) / len(vals))
+
+
+def approx_quantiles(
+    ds, col: str, qs: Sequence[float], points_per_block: int = 256
+) -> List[float]:
+    """Mergeable approximate quantiles — the 100-TB path for percentile
+    aggregations where ``exact_median``'s global sort is too expensive.
+
+    Weighted quantile summary (GK/XGBoost-sketch style, simplified): each
+    batch emits ≤ ``points_per_block`` evenly spaced order statistics with
+    weight n/points (plus exact min/max, weight 0-adjusted); the reduce side
+    sorts the tiny weighted summary and inverts the cumulative weight.
+    Error is O(1/points_per_block) in rank per block; deterministic.
+    """
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.sort(v[~np.isnan(v)])
+        n = v.size
+        if n == 0:
+            return pa.table({"value": pa.array([], pa.float64()),
+                             "weight": pa.array([], pa.float64())})
+        b = min(points_per_block, n)
+        # midpoints of b equal-mass strata + exact extremes
+        idx = np.minimum(((np.arange(b) + 0.5) * n / b).astype(np.int64), n - 1)
+        vals = np.concatenate(([v[0]], v[idx], [v[-1]]))
+        wts = np.concatenate(([0.0], np.full(b, n / b), [0.0]))
+        return pa.table({"value": pa.array(vals), "weight": pa.array(wts)})
+
+    summary = (
+        ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    )  # ≤ (points+2) × num_blocks rows — tiny by construction
+    summary = summary.sort_values("value", kind="stable")
+    w = summary["weight"].to_numpy()
+    v = summary["value"].to_numpy()
+    total = w.sum()
+    cum = np.cumsum(w) - w / 2.0  # midpoint rule
+    out = []
+    for q in qs:
+        target = q * total
+        i = int(np.searchsorted(cum, target))
+        if i <= 0:
+            out.append(float(v[0]))
+        elif i >= v.size:
+            out.append(float(v[-1]))
+        else:
+            # linear interpolation between neighboring summary points
+            c0, c1 = cum[i - 1], cum[i]
+            frac = 0.0 if c1 == c0 else (target - c0) / (c1 - c0)
+            out.append(float(v[i - 1] + frac * (v[i] - v[i - 1])))
+    return out

@@ -206,6 +206,11 @@ def ingest_webtext(
     if langs:
         lang_list = list(langs)
         ds = ds.filter(expr=f"lang in {lang_list}")
+    # input row count from parquet metadata / block metadata (no execution)
+    try:
+        ds_input_count = ds.count() if out_dir is not None else None
+    except Exception:
+        ds_input_count = None
 
     if enrich_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -229,10 +234,41 @@ def ingest_webtext(
         concurrency=enrich_concurrency,
     )
     if out_dir is not None:
+        import json
         import os
+        import time
 
+        t0 = time.time()
+        n_input = ds_input_count
         docs = ds.drop_columns(["tokens"])
         docs.write_parquet(os.path.join(out_dir, "docs"))
+        import pyarrow.dataset as pads
+
+        written = pads.dataset(os.path.join(out_dir, "docs"))
+        n_docs = written.count_rows()
+        n_admitted = 0
+        for frag in written.to_batches(columns=["admitted"]):
+            n_admitted += int(pa.compute.sum(frag["admitted"]).as_py() or 0)
+        # the reference's running count / count_filtered ratio printout
+        # (/root/reference/sentiment.py:66-68,77-78) as a lineage record
+        lineage = {
+            "n_input_rows": n_input,
+            "n_docs": n_docs,
+            "n_admitted": n_admitted,
+            "pct_dropped_or_deduped": round(100.0 * (1 - n_docs / max(n_input, 1)), 2),
+            "pct_filtered": round(100.0 * (1 - n_admitted / max(n_docs, 1)), 2),
+            "wall_sec": round(time.time() - t0, 3),
+            "config": {
+                "min_tokens": min_tokens,
+                "tokens_required": list(tokens_required),
+                "tokens_ignored": list(tokens_ignored),
+                "langs": list(langs) if langs else None,
+            },
+        }
+        tmp = os.path.join(out_dir, "ingest_lineage.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(lineage, f, indent=1)
+        os.replace(tmp, os.path.join(out_dir, "ingest_lineage.json"))
         import ray.data as rd2
 
         return rd2.read_parquet(os.path.join(out_dir, "docs"))

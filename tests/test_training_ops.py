@@ -382,3 +382,41 @@ def test_ohlc_bucket(ray_session):
         assert row["close"] == pytest.approx(s.iloc[-1])
         assert row["high"] == pytest.approx(s.max())
         assert row["low"] == pytest.approx(s.min())
+
+
+def test_approx_quantiles(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.aggs import approx_quantiles, exact_median
+
+    ds = rd.read_parquet(f"/root/testdata/sf0.01/events.parquet")
+    got = approx_quantiles(ds, "value", [0.1, 0.5, 0.9], points_per_block=256)
+    ev = pd.read_parquet(f"/root/testdata/sf0.01/events.parquet")["value"]
+    exp = [ev.quantile(q) for q in (0.1, 0.5, 0.9)]
+    spread = ev.max() - ev.min()
+    for g, e in zip(got, exp):
+        assert abs(g - e) <= 0.02 * spread  # rank error O(1/points)
+    # determinism
+    assert approx_quantiles(ds, "value", [0.5], points_per_block=256) == [got[1]]
+    med = exact_median(ds, "value")
+    assert abs(got[1] - med) <= 0.02 * spread
+
+
+def test_ingest_lineage(ray_session, tmp_path):
+    import json
+
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+    from stocksight_ray.webtext import generate_table
+
+    out = str(tmp_path / "ingest_out")
+    docs = ingest_webtext(
+        rd.from_arrow(generate_table(300, seed=42)), out_dir=out,
+        enrich_concurrency=2, batch_size=128,
+    )
+    lin = json.load(open(f"{out}/ingest_lineage.json"))
+    assert lin["n_input_rows"] == 300
+    assert lin["n_docs"] == docs.count()
+    assert 0 < lin["n_admitted"] <= lin["n_docs"]
+    assert lin["pct_dropped_or_deduped"] > 0  # dup urls exist by design

@@ -4,9 +4,10 @@
     read_parquet(url, warc_ts, html[, lang])
       → map_batches(extract)           E1: html → text (byte-identical)
       → map_batches(clean)             P4: clean_text (vectorized RE2)
-      → filter empty text              P2
-      → dedup newest-wins by url       A1: hash-bucket shuffle, vectorized
-      → assign dense doc_ids           sort by url → per-block offsets
+      → filter empty text              P2  (html dropped here — dead weight)
+      → dedup + dense doc_ids          A1 fused into ONE sort by
+                                       (url, warc_ts desc): newest-wins
+                                       keeper + id = rank of url
       → map_batches(EnrichStage)       T1 tokens + F1-F3 admission flags +
                                        P5/M1 sentiment  (actor pool)
       → write docs + norms parquet
@@ -17,13 +18,12 @@ index is built over admitted docs, but the docs table keeps everything
 (the reference's drops are logged skips; here they're queryable).
 
 Dedup is NOT actor state (the reference's unbounded in-process lists,
-/root/reference/sentiment.py:54,272-273): it is a hash-partitioned shuffle —
-``bucket = crc32(url) % B`` → groupby(bucket) → vectorized newest-wins
-drop_duplicates per bucket.
-
-Doc-id assignment is the deterministic sort-based scheme (SURVEY.md §7 step
-3): sort by url, then ids = dense offsets accumulated over the sorted blocks;
-ids are invariant to partition count / parallelism (tested at 1/4/16).
+/root/reference/sentiment.py:54,272-273): the pipeline path uses
+``dedup_and_assign_ids`` — dedup and deterministic id assignment fused into
+a single sort shuffle (ids invariant to partition count, tested at 1/4/16).
+The standalone ``dedup_newest_wins`` (hash-bucket groupby) and
+``assign_doc_ids`` (sort + offsets) remain as separately usable operators
+and as the fallback path for adversarial (key, ts)-duplicate inputs.
 """
 
 from __future__ import annotations
@@ -126,6 +126,89 @@ def assign_doc_ids(ds, key: str = "url"):
     return sorted_ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
 
 
+def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
+    """Fused A1 dedup (newest-wins) + deterministic dense doc_ids in ONE
+    shuffle: sort by (key asc, ts desc); the global first row of each key
+    group is the keeper; doc_id = rank of key among sorted distinct keys.
+
+    After the sort, a key group may straddle block boundaries.  Per block we
+    collect (first_key, first_ts, n_distinct, last_key); blocks arrive from
+    ``take_all`` in dataset order, so the driver walks them in sorted order:
+    a block whose first_key equals the previous block's last_key is a
+    CONTINUATION — its first group was already seen, so it contributes
+    n_distinct-1 new keys and must drop its leading group's rows.  Driver
+    state is O(#blocks).
+
+    Correctness guard: stamping matches blocks back by (first_key,
+    first_ts, n_rows).  If two blocks collide on that composite (only
+    possible with exact duplicate (key, ts) pairs at a block boundary) we
+    fall back to the two-shuffle path rather than risk misassignment.
+    """
+    sorted_ds = ds.sort([key, ts], descending=[False, True]).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"first": pa.array([], pa.string()), "first_ts": pa.array([], pa.timestamp("us")),
+                 "last": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                 "uniq": pa.array([], pa.int64())}
+            )
+        keys = batch[key].to_pylist()
+        uniq = len(set(keys))
+        return pa.table(
+            {
+                "first": pa.array([keys[0]], pa.string()),
+                "first_ts": pa.array([batch[ts][0].as_py()], pa.timestamp("us")),
+                "last": pa.array([keys[-1]], pa.string()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "uniq": pa.array([uniq], pa.int64()),
+            }
+        )
+
+    metas = sorted_ds.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).take_all()  # take_all preserves dataset (= sorted block) order
+
+    offsets = {}
+    collision = False
+    acc = 0
+    prev_last = None
+    for m in metas:
+        cont = prev_last is not None and m["first"] == prev_last
+        k = (m["first"], m["first_ts"], m["n"])
+        if k in offsets:
+            collision = True
+            break
+        offsets[k] = (acc, cont)
+        acc += m["uniq"] - (1 if cont else 0)
+        prev_last = m["last"]
+    if collision:  # adversarial duplicate (key, ts) at a boundary
+        return assign_doc_ids(dedup_newest_wins(ds), key)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("doc_id", pa.array([], pa.int64()))
+        keys = np.asarray(batch[key].to_pylist(), dtype=object)
+        start, cont = offsets[
+            (keys[0], batch[ts][0].as_py(), batch.num_rows)
+        ]
+        new_group = np.concatenate(([True], keys[1:] != keys[:-1]))
+        # keeper = first row of each block-local group, except the leading
+        # group when it continues from the previous block
+        keep = new_group.copy()
+        rank = np.cumsum(new_group) - 1  # 0-based group rank in block
+        if cont:
+            keep[0] = False  # leading group already kept in an earlier block
+            ids = start - 1 + rank
+        else:
+            ids = start + rank
+        out = batch.filter(pa.array(keep))
+        out_ids = ids[keep]
+        return out.append_column("doc_id", pa.array(out_ids, pa.int64()))
+
+    return sorted_ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
 class EnrichStage:
     """Actor-pool stage: tokens (T1), admission filters (F1-F3), sentiment
     (P5 clean + M1 two-source scorer).  Lexicons/stopwords are module data
@@ -220,8 +303,7 @@ def ingest_webtext(
 
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(clean_filter_batch, batch_format="pyarrow", batch_size=batch_size)
-    ds = dedup_newest_wins(ds)
-    ds = assign_doc_ids(ds, "url")
+    ds = dedup_and_assign_ids(ds, "url", "warc_ts")  # fused: ONE shuffle
     ds = ds.map_batches(
         EnrichStage,
         fn_constructor_kwargs=dict(

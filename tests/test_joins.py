@@ -151,3 +151,32 @@ def test_url_extract_and_lang_filter(ray_session, webtext_table):
     assert set(only_en["lang"]) == {"en"}
     langs_in = set(webtext_table.column("lang").to_pylist())
     assert langs_in - {"en"}  # corpus does contain non-en rows
+
+
+def test_fused_dedup_ids_matches_two_shuffle(ray_session, webtext_table):
+    """dedup_and_assign_ids == dedup_newest_wins → assign_doc_ids at
+    several partition counts (ids, keeper rows, texts)."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import (
+        assign_doc_ids, clean_filter_batch, dedup_and_assign_ids,
+        dedup_newest_wins, extract_batch,
+    )
+
+    for nb in (1, 4, 16):
+        ds = rd.from_arrow(webtext_table).repartition(nb)
+        pre = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=64).map_batches(
+            clean_filter_batch, batch_format="pyarrow", batch_size=64
+        )
+        old = (
+            assign_doc_ids(dedup_newest_wins(pre), "url")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        new = (
+            dedup_and_assign_ids(pre, "url", "warc_ts")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(old["doc_id"]) == list(new["doc_id"])
+        assert list(old["url"]) == list(new["url"])
+        assert list(old["warc_ts"]) == list(new["warc_ts"])
+        assert list(old["text"]) == list(new["text"])

@@ -586,6 +586,86 @@ def q32_prices_pipeline(sf_dir: str):
     return last.drop(columns=["last_ts"]).sort_values("symbol").reset_index(drop=True)
 
 
+def q33_mod_sample(sf_dir: str):
+    """Deterministic fraction sample (id % 100 < 17) — reproducible under
+    any partitioning / resume, unlike random_sample."""
+    from stocksight_ray.pipelines.sampling import mod_sample
+
+    return mod_sample(_docs(sf_dir), "doc_id", 17, 100).select_columns(
+        ["doc_id", "lang"]
+    )
+
+
+def q34_stratified_head(sf_dir: str):
+    """Per-language cap of 20 docs in doc_id order (class balancing)."""
+    from stocksight_ray.pipelines.sampling import stratified_head
+
+    out = stratified_head(_docs(sf_dir), "lang", 20, ["doc_id"])
+    return out.select_columns(["doc_id", "lang"])
+
+
+def q35_normalize(sf_dir: str):
+    """Text normalization: lowercase + whitespace collapse + trim
+    (vectorized Arrow kernels, matching SQL semantics exactly)."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        collapsed = pc.replace_substring_regex(low, r" +", " ")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text_norm": pc.utf8_trim_whitespace(collapsed)}
+        )
+
+    return _docs(sf_dir).map_batches(norm, batch_format="pyarrow")
+
+
+def q36_hash_join(sf_dir: str):
+    """Large-large co-partitioned hash join (lineitem x orders on orderkey)
+    -> revenue by order priority.  No broadcast: both sides shuffle once on
+    the join key; revenue aggregated with the partial-combine pattern."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from stocksight_ray.pipelines.joins import hash_join
+
+    lineitem = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+
+    left = lineitem.map_batches(revenue, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = hash_join(
+        left, orders, on="o_orderkey",
+        left_cols=["rev"], right_cols=["o_orderpriority"],
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["o_orderpriority", "rev"]), "o_orderpriority").aggregate(
+            [("rev", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["o_orderpriority", "p_rev", "p_cnt"])
+
+    df = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_cnt", alias_name="n_items"))
+        .to_pandas()
+    )
+    return _round_cols(df, {"revenue": 2})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -620,6 +700,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_rolling_mean": q30_rolling_mean,
         "q31_url_extract": q31_url_extract,
         "q32_prices_pipeline": q32_prices_pipeline,
+        "q33_mod_sample": q33_mod_sample,
+        "q34_stratified_head": q34_stratified_head,
+        "q35_normalize": q35_normalize,
+        "q36_hash_join": q36_hash_join,
     }
 
 
@@ -733,6 +817,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, round(avg(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rmean FROM events"
+        ),
+        "q33_mod_sample": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 17"
+        ),
+        "q34_stratified_head": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() "
+            "OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 20"
+        ),
+        "q35_normalize": (
+            "SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) "
+            "AS text_norm FROM documents"
+        ),
+        "q36_hash_join": (
+            "SELECT o_orderpriority, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "q17_events_ohlc": (
             "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)"

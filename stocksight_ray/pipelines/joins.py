@@ -21,6 +21,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def asof_join(
@@ -97,6 +98,96 @@ def asof_join(
         return j[out_cols]
 
     return both.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    how: str = "inner",
+):
+    """Large-large equi-join: both sides co-partition on ``on`` via ONE
+    ``groupby(on)`` over the padded union (no broadcast — use
+    the ray.put broadcast pattern instead when one side is small, see
+    __ray_entry__.q15).  Vectorized pandas merge per key group.
+
+    Skew note: a pathological hot key lands one group on one task; salt the
+    key upstream (duplicate the small-side rows per salt) when a single key's
+    rows exceed task memory.
+    """
+    lcols = [c for c in left_cols if c != on]
+    rcols = [c for c in right_cols if c != on]
+
+    # types of the other side's columns are discovered from their schema
+    lschema = left.schema()
+    rschema = right.schema()
+    rtypes = {c: rschema.types[rschema.names.index(c)] for c in rcols}
+    ltypes = {c: lschema.types[lschema.names.index(c)] for c in lcols}
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {on: batch[on]}
+        for c in lcols:
+            cols[c] = batch[c]
+        for c in rcols:
+            cols[c] = pa.nulls(n, rtypes[c])
+        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {on: batch[on]}
+        for c in lcols:
+            cols[c] = pa.nulls(n, ltypes[c])
+        for c in rcols:
+            cols[c] = batch[c]
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    NUM_BUCKETS = 256
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keys = batch[on]
+        if pa.types.is_integer(keys.type):
+            b = pc.subtract(
+                keys, pc.multiply(pc.divide(keys, NUM_BUCKETS), NUM_BUCKETS)
+            )
+            b = pc.cast(b, pa.int32())
+        else:
+            import zlib
+
+            b = pa.array(
+                [zlib.crc32(str(k).encode()) % NUM_BUCKETS for k in keys.to_pylist()],
+                pa.int32(),
+            )
+        return batch.append_column("_b", b)
+
+    both = (
+        left.select_columns([on] + lcols)
+        .map_batches(pad_left, batch_format="pyarrow")
+        .union(
+            right.select_columns([on] + rcols).map_batches(
+                pad_right, batch_format="pyarrow"
+            )
+        )
+        .map_batches(bucketize, batch_format="pyarrow")
+    )
+    out_cols = [on] + lcols + rcols
+
+    # groups are key BUCKETS (many keys per task → vectorized merge), not
+    # individual keys — per-key groups would drown in task overhead
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["_side"] == 0][[on] + lcols]
+        r = group[group["_side"] == 1][[on] + rcols]
+        if l.empty or (r.empty and how == "inner"):
+            return pd.DataFrame({c: [] for c in out_cols})
+        j = l.merge(r, on=on, how="left" if how == "left" else "inner")
+        return j[out_cols]
+
+    return both.groupby("_b").map_groups(merge, batch_format="pandas")
 
 
 def rolling_mean(

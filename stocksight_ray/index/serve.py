@@ -31,9 +31,9 @@ class SearchStage:
     """map_batches actor: (query_id, query[, k]) → (query_id, rank, doc_id,
     score) rows.  Engine + partitions load once per actor."""
 
-    def __init__(self, index_dir: str, default_k: int = 10, method: str = "wand"):
+    def __init__(self, index_dir: str, default_k: int = 10, method: str = "auto"):
         self.engine = QueryEngine(index_dir)
-        self.engine.warm()
+        self.engine.warm(deep=True)
         self.default_k = default_k
         self.method = method
 
@@ -69,7 +69,7 @@ def search_dataset(
     index_dir: str,
     *,
     k: int = 10,
-    method: str = "wand",
+    method: str = "auto",
     concurrency=(2, 8),
     batch_size: int = 64,
 ):
@@ -86,14 +86,14 @@ def search_dataset(
 class QueryService:
     """Round-robin pool of warm query actors for online serving."""
 
-    def __init__(self, index_dir: str, num_actors: int = 2, method: str = "wand"):
+    def __init__(self, index_dir: str, num_actors: int = 2, method: str = "auto"):
         import ray
 
         @ray.remote
         class QueryServerActor:
             def __init__(self, index_dir: str, method: str):
                 self.engine = QueryEngine(index_dir)
-                self.engine.warm()
+                self.engine.warm(deep=True)
                 self.method = method
 
             def search(self, query: str, k: int = 10):

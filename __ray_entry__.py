@@ -666,6 +666,44 @@ def q36_hash_join(sf_dir: str):
     return _round_cols(df, {"revenue": 2})
 
 
+def q37_bm25_modes(sf_dir: str):
+    """Query-surface parity beyond OR: conjunctive (ES match operator=and)
+    and phrase (match_phrase) over the documents index — rows-only,
+    deterministic (index state + Porter analyzer not SQL-expressible)."""
+    import pyarrow.parquet as pq
+
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.query import QueryEngine
+
+    out_dir = tempfile.mkdtemp(prefix="q37_index_")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    build_index(
+        _docs(sf_dir), out_dir, text_col="text", id_col="doc_id",
+        num_partitions=8, batch_size=256,
+        extra_manifest={"docs_path": docs_path, "docs_text_col": "text"},
+    )
+    eng = QueryEngine(out_dir)
+    frames = []
+    for qid, (mode, q) in enumerate(
+        [
+            ("and", "table scan merge"),
+            ("and", "window sort"),
+            ("and", "stream zzzmissing"),
+            ("phrase", "table scan"),
+            ("phrase", "window sort"),
+            ("phrase", "scan table"),
+        ]
+    ):
+        hits = (
+            eng.search_and(q, k=10) if mode == "and" else eng.search_phrase(q, k=10)
+        )
+        for rank, (d, sc) in enumerate(hits, start=1):
+            frames.append((qid, mode, q, rank, d, round(sc, 6)))
+    return pd.DataFrame(
+        frames, columns=["query_id", "mode", "query", "rank", "doc_id", "score"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -704,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q34_stratified_head": q34_stratified_head,
         "q35_normalize": q35_normalize,
         "q36_hash_join": q36_hash_join,
+        "q37_bm25_modes": q37_bm25_modes,
     }
 
 

@@ -179,9 +179,26 @@ def build_resumable(
     os.makedirs(out_dir, exist_ok=True)
 
     # shard planning: [0, max_doc_id] in fixed ranges — derived from data,
-    # O(1) driver state
-    max_id = int(docs.max(id_col))
-    n_shards = max_id // shard_docs + 1
+    # O(#shards) driver state.  One cheap aggregation pass (id column only)
+    # counts docs per shard, so an APPEND that lands new docs inside an
+    # already-committed boundary shard invalidates just that shard.
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def shard_counts(batch: pa.Table) -> pa.Table:
+        s = pc.cast(pc.divide(batch[id_col], shard_docs), pa.int64())
+        g = pa.TableGroupBy(pa.table({"shard": s}), "shard").aggregate([([], "count_all")])
+        return g.rename_columns(["shard", "partial"])
+
+    counts = {
+        int(r["shard"]): int(r["cnt"])
+        for r in docs.select_columns([id_col])
+        .map_batches(shard_counts, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("partial", alias_name="cnt"))
+        .take_all()
+    }
+    n_shards = max(counts) + 1 if counts else 0
     built: List[dict] = []
     todo = range(n_shards) if max_shards is None else range(min(n_shards, max_shards))
     for shard in todo:
@@ -189,8 +206,12 @@ def build_resumable(
         marker = os.path.join(seg, "_SUCCESS")
         if os.path.exists(marker):
             with open(os.path.join(seg, "lineage.json")) as f:
-                built.append(json.load(f))
-            continue
+                lin = json.load(f)
+            if lin["n_docs"] == counts.get(shard, 0):
+                built.append(lin)
+                continue
+            # shard range gained docs since commit (incremental append
+            # boundary) — rebuild it
         built.append(
             build_segment(
                 docs, out_dir, shard,

@@ -104,3 +104,51 @@ def test_resume_idempotent(ray_session, docs_ds, tmp_path):
     )
     assert m2["segments"] == m1["segments"]
     assert _results(out) == r1
+
+
+def test_incremental_append(ray_session, tmp_path):
+    """W1 incremental ingest: new docs with doc_ids beyond the current max
+    arrive as new shards; re-running build_resumable folds them in without
+    touching committed shards, and the result equals a fresh full build."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from stocksight_ray.index.segments import build_resumable
+
+    def mk_docs(lo, hi, seed_word):
+        texts = [
+            f"{seed_word} market stock document number {i} with earnings data"
+            for i in range(lo, hi)
+        ]
+        return pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    batch1 = mk_docs(0, 300, "alpha")
+    batch2 = mk_docs(300, 500, "beta")
+    out = str(tmp_path / "incr")
+    fresh = str(tmp_path / "freshfull")
+
+    m1 = build_resumable(
+        rd.from_arrow(batch1), out, text_col="text",
+        num_partitions=4, salt_range=128, shard_docs=128, batch_size=64,
+    )
+    n_shards_1 = len(m1["segments"])
+    lineage1 = m1["segments"]
+
+    both = pa.concat_tables([batch1, batch2])
+    m2 = build_resumable(
+        rd.from_arrow(both), out, text_col="text",
+        num_partitions=4, salt_range=128, shard_docs=128, batch_size=64,
+    )
+    assert len(m2["segments"]) > n_shards_1
+    # committed shards untouched (identical lineage records)
+    assert m2["segments"][:n_shards_1 - 1] == lineage1[:n_shards_1 - 1]
+    assert m2["num_docs"] == 500
+
+    build_resumable(
+        rd.from_arrow(both), fresh, text_col="text",
+        num_partitions=4, salt_range=128, shard_docs=128, batch_size=64,
+    )
+    assert _results(out) == _results(fresh)

@@ -420,3 +420,34 @@ def test_ingest_lineage(ray_session, tmp_path):
     assert lin["n_docs"] == docs.count()
     assert 0 < lin["n_admitted"] <= lin["n_docs"]
     assert lin["pct_dropped_or_deduped"] > 0  # dup urls exist by design
+
+
+def test_audio_stage_with_injected_decoder(ray_session):
+    """The audio contract end-to-end with an injected decoder (the stub
+    raises by design; a real deployment passes soundfile/ffmpeg)."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.multimodal import AudioFeatureStage, synth_binary_table
+
+    def fake_wav(payload: bytes) -> np.ndarray:
+        return np.frombuffer((payload * 4)[:256], dtype=np.uint8).astype(np.float64) / 255.0
+
+    t = synth_binary_table(20)
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs={"decoder": fake_wav},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 20
+    assert all(len(f) == AudioFeatureStage.FEATURE_DIM for f in out["features"])
+    direct = AudioFeatureStage(decoder=fake_wav)(t).to_pandas()
+    for a, b in zip(
+        out.sort_values("id")["features"], direct.sort_values("id")["features"]
+    ):
+        np.testing.assert_allclose(a, b)

@@ -704,6 +704,27 @@ def q37_bm25_modes(sf_dir: str):
     )
 
 
+def q38_uniq_users_daily(sf_dir: str):
+    """Exact count-distinct per day bucket (pre-reduced two-stage shuffle
+    bounded by distinct-pair cardinality)."""
+    import pyarrow.compute as pc
+
+    from stocksight_ray.pipelines.aggs import count_distinct
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
+        bucket = pc.cast(
+            pc.multiply(
+                pc.floor(pc.divide(pc.cast(secs, pa.float64()), 86400)), 86400.0
+            ),
+            pa.int64(),
+        )
+        return pa.table({"bucket": bucket, "user_id": batch["user_id"]})
+
+    ds = _events(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+    return count_distinct(ds, "bucket", "user_id", out="uniq_users")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -743,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_normalize": q35_normalize,
         "q36_hash_join": q36_hash_join,
         "q37_bm25_modes": q37_bm25_modes,
+        "q38_uniq_users_daily": q38_uniq_users_daily,
     }
 
 
@@ -875,6 +897,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "q38_uniq_users_daily": (
+            "SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket, "
+            "count(DISTINCT user_id) AS uniq_users FROM events GROUP BY bucket"
         ),
         "q17_events_ohlc": (
             "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)"

@@ -155,6 +155,72 @@ def exact_median(ds, col: str) -> float:
     return float(sum(vals) / len(vals))
 
 
+def count_distinct(ds, by: str, key: str, out: str = "uniq"):
+    """Exact distinct-count of ``key`` per ``by`` group.
+
+    Two pre-reduced stages: local unique (by, key) pairs inside map_batches
+    → groupby([by, key]) collapses global duplicates → local pair counts
+    per by → groupby(by) sums.  Shuffle volume is bounded by the DISTINCT
+    pair cardinality, not the row count."""
+    from ray.data.aggregate import Count, Sum
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({by: batch[by], key: batch[key]})
+        g = pa.TableGroupBy(t, [by, key]).aggregate([([], "count_all")])
+        return g.rename_columns([by, key, "_n"]).select([by, key])
+
+    pairs = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby([by, key])
+        .aggregate(Count())
+    )
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([by]), by).aggregate([([], "count_all")])
+        return g.rename_columns([by, "partial"])
+
+    return (
+        pairs.map_batches(local_counts, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(Sum("partial", alias_name=out))
+    )
+
+
+def approx_count_distinct(ds, key: str, p: int = 12) -> float:
+    """HyperLogLog distinct estimate (Flajolet et al. 2007) — the scale
+    path beside exact ``count_distinct``: per-batch register arrays
+    (2^p bytes) merge by element-wise max; only #blocks tiny register rows
+    reach the reduce.  Deterministic (sha1-based hashing)."""
+    import hashlib
+
+    m = 1 << p
+
+    def local_registers(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        for v in batch[key].to_pylist():
+            h = int.from_bytes(
+                hashlib.sha1(str(v).encode()).digest()[:8], "big"
+            )
+            idx = h & (m - 1)
+            w = h >> p
+            # rank = leading-zero position in the remaining 64-p bits
+            rank = (64 - p) - w.bit_length() + 1
+            if rank > regs[idx]:
+                regs[idx] = rank
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(local_registers, batch_format="pyarrow").take_all()
+    regs = np.zeros(m, dtype=np.uint8)
+    for r in rows:
+        regs = np.maximum(regs, np.frombuffer(r["regs"], dtype=np.uint8))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
 def approx_quantiles(
     ds, col: str, qs: Sequence[float], points_per_block: int = 256
 ) -> List[float]:

@@ -451,3 +451,22 @@ def test_audio_stage_with_injected_decoder(ray_session):
         out.sort_values("id")["features"], direct.sort_values("id")["features"]
     ):
         np.testing.assert_allclose(a, b)
+
+
+def test_count_distinct_and_hll(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.aggs import approx_count_distinct, count_distinct
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    got = count_distinct(ds, "event_type", "user_id", out="uniq").to_pandas()
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    exp = ev.groupby("event_type")["user_id"].nunique()
+    for _, r in got.iterrows():
+        assert r["uniq"] == exp[r["event_type"]]
+    # HLL estimate within ~3% at p=12
+    est = approx_count_distinct(ds, "user_id", p=12)
+    true = ev["user_id"].nunique()
+    assert abs(est - true) / true < 0.05
+    # deterministic
+    assert approx_count_distinct(ds.repartition(5), "user_id", p=12) == est

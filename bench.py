@@ -143,6 +143,9 @@ def run_ops_bench() -> dict:
         "q19_minhash_dedup",
         "q05_exact_dedup",
         "q23_sentiment",
+        "q29_asof_join",
+        "q36_hash_join",
+        "q38_uniq_users_daily",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.time()

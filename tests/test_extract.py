@@ -59,3 +59,24 @@ def test_void_elements_no_children():
     root = parse_html("<p>a<br>b</p>")
     # br is void: 'a', <br>, 'b' are three siblings under <p> → .string None
     assert extract_paragraphs("<p>a<br>b</p>") == []
+
+
+def test_poison_html_never_crashes():
+    """Adversarial payloads (random bytes, truncated tags, control chars,
+    invalid UTF-8) must yield text (possibly empty), never raise — poison
+    rows degrade to empty docs instead of killing a task."""
+    import hashlib
+
+    from stocksight_ray.functions.htmlx import extract_headlines, extract_page_text
+
+    cases = [
+        b"", None, b"\x00\xff\xfe garbage \x80\x81",
+        b"<p>unclosed", b"<<<<>>>>", b"<p" + b"a" * 10000,
+        b"<html><body><p>" + hashlib.sha256(b"x").digest() * 100,
+        "<p>ok</p>".encode("utf-16"),  # wrong encoding
+        b"<p>" + "  ﻿".encode() + b"</p>",
+    ]
+    for c in cases:
+        out = extract_page_text(c)
+        assert isinstance(out, str)
+        assert isinstance(extract_headlines(c), list)

@@ -500,6 +500,56 @@ class QueryEngine:
         out.sort(key=lambda ds_: (-ds_[1], ds_[0]))
         return out[:k]
 
+    def search_sorted(
+        self, query: str, k: int = 10, *,
+        sort_col: str = "warc_ts", descending: bool = True,
+        docs_path: Optional[str] = None, mode: str = "or",
+    ) -> List[Tuple[int, object]]:
+        """The reference's Kibana saved search (sort: ["date","desc"],
+        /root/reference/export.json stocksight_savesearch): matching docs
+        ordered by a METADATA column instead of score.  Candidates come from
+        the index (OR or AND match); the sort key is fetched from the docs
+        table with a doc_id filter (row-group pruning at scale).  Returns
+        [(doc_id, sort_value)] — ties by doc_id asc."""
+        import pyarrow.dataset as pads
+
+        docs_path = docs_path or self.manifest.get("docs_path")
+        if docs_path is None:
+            raise ValueError("search_sorted needs docs_path (or manifest docs_path)")
+        if mode == "and":
+            cand = self.search_and(query, k=1 << 30)
+        else:
+            cand = self.search(query, k=1 << 30, method="exhaustive")
+        if not cand:
+            return []
+        ids = pa.array([d for d, _ in cand], pa.int64())
+        tbl = pads.dataset(docs_path).to_table(
+            columns=["doc_id", sort_col],
+            filter=pads.field("doc_id").isin(ids),
+        )
+        rows = list(zip(tbl["doc_id"].to_pylist(), tbl[sort_col].to_pylist()))
+        if descending:
+            rows.sort(key=lambda r: (r[1], -r[0]), reverse=True)  # val desc, id asc
+        else:
+            rows.sort(key=lambda r: (r[1], r[0]))
+        return rows[:k]
+
+    def highlight(self, text: str, query: str, pre: str = "<em>", post: str = "</em>") -> str:
+        """Kibana-style highlightAll: wrap every word whose ANALYZED form
+        matches an analyzed query term (so stemming variants highlight too,
+        matching the english-analyzer search semantics)."""
+        terms = set(self.analyze_query(query))
+        if not terms or not text:
+            return text or ""
+        out = []
+        for w in text.split(" "):
+            a = self._analyze(w)
+            if a and a[0] in terms:
+                out.append(f"{pre}{w}{post}")
+            else:
+                out.append(w)
+        return " ".join(out)
+
     # ------------------------------------------------------------------
     def search_table(self, query: str, k: int = 10, method: str = "auto") -> pa.Table:
         hits = self.search(query, k, method)

@@ -172,3 +172,50 @@ def test_search_phrase(ray_session, small_index):
         "earnings strong" in " ".join(english_analyzer(texts[d]))
         for d, _ in eng.search_phrase("earnings strong", k=10)
     )
+
+
+def test_search_sorted_by_metadata(ray_session, small_index, tmp_path):
+    """Saved-search parity: matches ordered by a metadata column."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stocksight_ray.index.query import QueryEngine
+
+    out, texts = small_index
+    # docs table with a date column: doc_id i -> day i
+    from datetime import datetime, timedelta
+
+    docs_path = os.path.join(str(tmp_path), "docs_meta.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "warc_ts": pa.array(
+                    [datetime(2021, 1, 1) + timedelta(days=i) for i in range(len(texts))],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        docs_path,
+    )
+    eng = QueryEngine(out)
+    hits = eng.search_sorted("market", k=3, docs_path=docs_path)
+    match_ids = {d for d, _ in eng.search("market", k=100, method="exhaustive")}
+    exp = sorted(match_ids, reverse=True)[:3]  # newest = highest doc_id here
+    assert [d for d, _ in hits] == exp
+    asc = eng.search_sorted("market", k=3, docs_path=docs_path, descending=False)
+    assert [d for d, _ in asc] == sorted(match_ids)[:3]
+
+
+def test_highlight(ray_session, small_index):
+    from stocksight_ray.index.query import QueryEngine
+
+    out, _ = small_index
+    eng = QueryEngine(out)
+    got = eng.highlight("the market rises on earnings", "market earning")
+    # stemming: query "earning" highlights "earnings"
+    assert got == "the <em>market</em> rises on <em>earnings</em>"
+    assert eng.highlight("", "x") == ""
+    assert eng.highlight("plain words here", "zzz") == "plain words here"

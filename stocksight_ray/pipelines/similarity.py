@@ -137,6 +137,41 @@ def ivf_partition(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     return ds.map_batches(stamp, batch_format="pyarrow")
 
 
+def ivf_write(ds_bucketed, path: str) -> None:
+    """Persist the bucketed corpus partitioned BY BUCKET (one directory per
+    centroid) — the on-disk layout that makes ``ivf_topk_from_disk`` prune
+    unprobed buckets at the READ (directory level), which is the actual
+    scale win of IVF."""
+    ds_bucketed.write_parquet(path, partition_cols=["bucket"])
+
+
+def ivf_topk_from_disk(
+    path: str,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k reading ONLY the probed buckets' files."""
+    import ray.data as rd
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(q)
+    cent = np.asarray(centroids, dtype=np.float64)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    buckets = sorted({int(b) for row in probe for b in row})
+    import glob
+    import os
+
+    files = []
+    for b in buckets:
+        files.extend(sorted(glob.glob(os.path.join(path, f"bucket={b}", "*.parquet"))))
+    sub = rd.read_parquet(files, columns=[id_col, vec_col])
+    return brute_force_topk(sub, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def ivf_topk(
     ds_bucketed,
     centroids: np.ndarray,

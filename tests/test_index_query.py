@@ -116,3 +116,42 @@ def test_doc_ids_deterministic_across_partitioning(ray_session, webtext_table):
     ta = sorted((r["url"], r["doc_id"]) for r in a.select_columns(["url", "doc_id"]).take_all())
     tb = sorted((r["url"], r["doc_id"]) for r in b.select_columns(["url", "doc_id"]).take_all())
     assert ta == tb
+
+
+def test_extreme_head_term_skew(ray_session, tmp_path):
+    """One term in EVERY doc + tiny salt_range: the head term's postings
+    split across many salt buckets (no single merge task sees them all) and
+    the salted merge must still produce docID-sorted, rank-identical
+    results at different partition counts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.query import QueryEngine
+
+    n = 1000
+    texts = [
+        f"ubiquitous term plus unique{i} filler words number {i}" for i in range(n)
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    outs = []
+    for parts, salt in ((2, 64), (8, 128)):
+        out = str(tmp_path / f"skew_{parts}_{salt}")
+        build_index(
+            rd.from_arrow(docs).repartition(4), out, text_col="text",
+            num_partitions=parts, salt_range=salt, batch_size=128,
+        )
+        outs.append(out)
+    e1, e2 = QueryEngine(outs[0]), QueryEngine(outs[1])
+    # df of the ubiquitous term must be N in both
+    p1, p2 = e1.lookup("ubiquit"), e2.lookup("ubiquit")
+    assert p1 is not None and p1.df == n and p2.df == n
+    # salted merge produced >= n/salt_range blocks' worth of runs, sorted
+    import numpy as np
+
+    ids1, _ = p1.full()
+    assert np.array_equal(ids1, np.arange(n))
+    for q in ["ubiquitous term", "unique42 filler", "term number"]:
+        assert e1.search(q, 10) == e2.search(q, 10)

@@ -470,3 +470,30 @@ def test_count_distinct_and_hll(ray_session):
     assert abs(est - true) / true < 0.05
     # deterministic
     assert approx_count_distinct(ds.repartition(5), "user_id", p=12) == est
+
+
+def test_ivf_disk_layout(ray_session, tmp_path):
+    """IVF partitioned-by-bucket storage: reads prune to probed buckets and
+    results match the in-memory IVF path."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.similarity import (
+        ivf_partition, ivf_topk, ivf_topk_from_disk, ivf_write, train_centroids,
+    )
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.asarray(list(emb["embedding"]), dtype=np.float64)
+    cent = train_centroids(ds, nlist=8)
+    bucketed = ivf_partition(ds, cent).materialize()
+    path = str(tmp_path / "ivf")
+    ivf_write(bucketed, path)
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(path))
+    queries = m[:4]
+    a = ivf_topk(bucketed, cent, queries, k=10, nprobe=3).to_pandas()
+    b = ivf_topk_from_disk(path, cent, queries, k=10, nprobe=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )

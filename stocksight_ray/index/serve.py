@@ -20,6 +20,7 @@ Two forms:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import pyarrow as pa
@@ -81,6 +82,121 @@ def search_dataset(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class SegmentEngine:
+    """Query engine over ONE committed segment (a doc_id-range shard from
+    index/segments.py), scoring with the GLOBAL manifest stats (N, avgdl,
+    df) so shard scores are directly comparable across shards.
+
+    This is the trillion-doc serving unit: each actor holds one shard's
+    postings; global df comes from the assembled manifest-side term stats
+    (here: the global index partitions' df, loaded lazily per term)."""
+
+    def __init__(self, out_dir: str, shard: int):
+        import json
+
+        from .query import QueryEngine
+
+        # global stats + df source: the assembled index manifest/partitions
+        self.globe = QueryEngine(out_dir)
+        seg = os.path.join(out_dir, "segments", f"shard-{shard:05d}")
+        with open(os.path.join(seg, "lineage.json")) as f:
+            self.lineage = json.load(f)
+        self._tables = {}
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from . import codec
+        from .query import _TermPostings
+
+        for p in sorted(glob.glob(os.path.join(seg, "part-*.parquet"))):
+            t = pq.read_table(p)
+            for term, df, cf, m, payload in zip(
+                t["term"].to_pylist(), t["df"].to_pylist(), t["cf"].to_pylist(),
+                t["meta"].to_pylist(), t["payload"].to_pylist(),
+            ):
+                self._tables[term] = _TermPostings(df, cf, codec.decode_meta(m), payload)
+        import pyarrow.parquet as pq2
+
+        norms = pq2.read_table(os.path.join(seg, "norms.parquet"))
+        import numpy as np
+
+        self._ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        self._lens = norms["doc_len"].to_numpy(zero_copy_only=False).astype("int32")
+
+    def search(self, query: str, k: int = 10):
+        """Top-k within this shard, scored with GLOBAL df/N/avgdl."""
+        import numpy as np
+
+        from . import codec
+
+        g = self.globe
+        terms = g.analyze_query(query)
+        acc = np.zeros(self._ids.size, dtype=np.float64)
+        touched = np.zeros(self._ids.size, dtype=bool)
+        for t in terms:
+            p = self._tables.get(t)
+            gp = g.lookup(t)  # global df for comparable idf
+            if p is None or gp is None:
+                continue
+            w = g.idf(gp.df)
+            docids, tfs = p.full()
+            pos = np.searchsorted(self._ids, docids)
+            dls = self._lens[pos]
+            acc[pos] += w * codec.tf_norm(tfs, dls, g.avgdl, g.k1, g.b)
+            touched[pos] = True
+        idx = np.flatnonzero(touched)
+        if idx.size == 0:
+            return []
+        scores = acc[idx]
+        docs = self._ids[idx]
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+
+class ShardedQueryService:
+    """One actor per segment shard; a query fans out and the per-shard
+    top-k lists merge by (score desc, doc_id asc) — EXACTLY the global
+    top-k, because every shard scores with the same global df/N/avgdl
+    (shards partition disjoint doc_id ranges)."""
+
+    def __init__(self, out_dir: str):
+        import json
+
+        import ray
+
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        shards = [s["shard"] for s in manifest.get("segments", [])]
+        if not shards:
+            raise ValueError("index has no segments (built single-pass?)")
+
+        @ray.remote
+        class ShardActor:
+            def __init__(self, out_dir: str, shard: int):
+                self.eng = SegmentEngine(out_dir, shard)
+
+            def search(self, query: str, k: int):
+                return self.eng.search(query, k)
+
+        self._actors = [ShardActor.remote(out_dir, s) for s in shards]
+
+    def search(self, query: str, k: int = 10):
+        import ray
+
+        parts = ray.get([a.search.remote(query, k) for a in self._actors])
+        merged = [hit for p in parts for hit in p]
+        merged.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return [(int(d), float(s)) for d, s in merged[:k]]
+
+    def shutdown(self):
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
 
 
 class QueryService:

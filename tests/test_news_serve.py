@@ -87,3 +87,32 @@ def test_query_service_actors(ray_session, built_index):
         assert res == eng.search(q, 5)
     assert svc.search("stock market", 5) == eng.search("stock market", 5)
     svc.shutdown()
+
+
+def test_sharded_query_service(ray_session, webtext_table, tmp_path):
+    """Per-segment shard actors + distributed top-k merge == the global
+    engine exactly (scores comparable because idf/avgdl are global)."""
+    import ray.data as rd
+
+    from stocksight_ray.index.query import QueryEngine
+    from stocksight_ray.index.segments import build_resumable
+    from stocksight_ray.index.serve import ShardedQueryService
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+
+    docs = (
+        ingest_webtext(rd.from_arrow(webtext_table), enrich_concurrency=2, batch_size=128)
+        .drop_columns(["tokens"])
+        .materialize()
+    )
+    out = str(tmp_path / "sharded_serve")
+    m = build_resumable(
+        docs, out, text_col="text_clean",
+        num_partitions=4, salt_range=128, shard_docs=128, batch_size=64,
+    )
+    assert len(m["segments"]) >= 3
+    svc = ShardedQueryService(out)
+    eng = QueryEngine(out)
+    for q in ["stock market earnings", "investor fears", "running traditional",
+              "buy sell hold", "zzzunseen"]:
+        assert svc.search(q, 10) == eng.search(q, 10, method="exhaustive"), q
+    svc.shutdown()

@@ -81,6 +81,20 @@ class _TermPostings:
         return f
 
 
+def read_postings_table(path: str) -> Dict[str, _TermPostings]:
+    """Load one postings parquet file → {term: _TermPostings} (shared by
+    the global engine's partition loader and segment serving)."""
+    table: Dict[str, _TermPostings] = {}
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        for term, df, cf, m, p in zip(
+            t["term"].to_pylist(), t["df"].to_pylist(), t["cf"].to_pylist(),
+            t["meta"].to_pylist(), t["payload"].to_pylist(),
+        ):
+            table[term] = _TermPostings(df, cf, codec.decode_meta(m), p)
+    return table
+
+
 class QueryEngine:
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -122,16 +136,7 @@ class QueryEngine:
         if cached is not None:
             return cached
         path = os.path.join(self.index_dir, "index", f"part-{part:05d}.parquet")
-        table: Dict[str, _TermPostings] = {}
-        if os.path.exists(path):
-            t = pq.read_table(path)
-            terms = t["term"].to_pylist()
-            dfs = t["df"].to_pylist()
-            cfs = t["cf"].to_pylist()
-            metas = t["meta"].to_pylist()
-            payloads = t["payload"].to_pylist()
-            for term, df, cf, m, p in zip(terms, dfs, cfs, metas, payloads):
-                table[term] = _TermPostings(df, cf, codec.decode_meta(m), p)
+        table = read_postings_table(path)
         self._parts[part] = table
         return table
 

@@ -86,66 +86,80 @@ def search_dataset(
 
 class SegmentEngine:
     """Query engine over ONE committed segment (a doc_id-range shard from
-    index/segments.py), scoring with the GLOBAL manifest stats (N, avgdl,
+    index/segments.py), scoring with the GLOBAL stats (N, avgdl, per-term
     df) so shard scores are directly comparable across shards.
 
-    This is the trillion-doc serving unit: each actor holds one shard's
-    postings; global df comes from the assembled manifest-side term stats
-    (here: the global index partitions' df, loaded lazily per term)."""
+    Memory is shard-bounded: only this shard's postings + norms are held,
+    plus a {term: df} dict for the shard's OWN term set, built at init from
+    column-projected (term, df) reads of the global index partitions —
+    never the global payloads or the global norms.  The dense per-query
+    accumulator is shard-sized (the point of sharding)."""
 
     def __init__(self, out_dir: str, shard: int):
+        import glob
         import json
 
-        from .query import QueryEngine
+        import numpy as np
+        import pyarrow.parquet as pq
 
-        # global stats + df source: the assembled index manifest/partitions
-        self.globe = QueryEngine(out_dir)
+        from ..functions.analyzer import ANALYZERS
+        from .query import read_postings_table
+
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        self.N = int(manifest["num_docs"])
+        self.avgdl = float(manifest["avgdl"]) or 1.0
+        self.k1 = float(manifest["k1"])
+        self.b = float(manifest["b"])
+        self._analyze = ANALYZERS[manifest["analyzer"]]
+
         seg = os.path.join(out_dir, "segments", f"shard-{shard:05d}")
         with open(os.path.join(seg, "lineage.json")) as f:
             self.lineage = json.load(f)
         self._tables = {}
-        import glob
-
-        import pyarrow.parquet as pq
-
-        from . import codec
-        from .query import _TermPostings
-
         for p in sorted(glob.glob(os.path.join(seg, "part-*.parquet"))):
-            t = pq.read_table(p)
-            for term, df, cf, m, payload in zip(
-                t["term"].to_pylist(), t["df"].to_pylist(), t["cf"].to_pylist(),
-                t["meta"].to_pylist(), t["payload"].to_pylist(),
-            ):
-                self._tables[term] = _TermPostings(df, cf, codec.decode_meta(m), payload)
-        import pyarrow.parquet as pq2
+            self._tables.update(read_postings_table(p))
 
-        norms = pq2.read_table(os.path.join(seg, "norms.parquet"))
-        import numpy as np
+        # global df for ONLY this shard's terms: projected (term, df) read
+        # of the global partitions — no payload bytes leave storage
+        self._global_df = {}
+        own = set(self._tables)
+        for p in sorted(
+            glob.glob(os.path.join(out_dir, "index", "part-*.parquet"))
+        ):
+            t = pq.read_table(p, columns=["term", "df"])
+            for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                if term in own:
+                    self._global_df[term] = int(df)
 
+        norms = pq.read_table(os.path.join(seg, "norms.parquet"))
         self._ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
         self._lens = norms["doc_len"].to_numpy(zero_copy_only=False).astype("int32")
 
     def search(self, query: str, k: int = 10):
-        """Top-k within this shard, scored with GLOBAL df/N/avgdl."""
+        """Top-k within this shard, scored with GLOBAL df/N/avgdl (dense
+        term-at-a-time over the shard-sized accumulator — same float order
+        as the global exhaustive oracle)."""
         import numpy as np
 
         from . import codec
 
-        g = self.globe
-        terms = g.analyze_query(query)
+        if k <= 0:
+            return []
+        seen = set()
+        terms = [t for t in self._analyze(query) if not (t in seen or seen.add(t))]
         acc = np.zeros(self._ids.size, dtype=np.float64)
         touched = np.zeros(self._ids.size, dtype=bool)
         for t in terms:
             p = self._tables.get(t)
-            gp = g.lookup(t)  # global df for comparable idf
-            if p is None or gp is None:
+            if p is None:
                 continue
-            w = g.idf(gp.df)
+            df = self._global_df.get(t, p.df)
+            w = float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
             docids, tfs = p.full()
             pos = np.searchsorted(self._ids, docids)
             dls = self._lens[pos]
-            acc[pos] += w * codec.tf_norm(tfs, dls, g.avgdl, g.k1, g.b)
+            acc[pos] += w * codec.tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
             touched[pos] = True
         idx = np.flatnonzero(touched)
         if idx.size == 0:
@@ -186,6 +200,8 @@ class ShardedQueryService:
     def search(self, query: str, k: int = 10):
         import ray
 
+        if k <= 0:
+            return []
         parts = ray.get([a.search.remote(query, k) for a in self._actors])
         merged = [hit for p in parts for hit in p]
         merged.sort(key=lambda ds_: (-ds_[1], ds_[0]))

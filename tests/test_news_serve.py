@@ -116,3 +116,24 @@ def test_sharded_query_service(ray_session, webtext_table, tmp_path):
               "buy sell hold", "zzzunseen"]:
         assert svc.search(q, 10) == eng.search(q, 10, method="exhaustive"), q
     svc.shutdown()
+
+
+def test_sharded_service_k_guard(ray_session, webtext_table, tmp_path):
+    import ray.data as rd
+
+    from stocksight_ray.index.segments import build_resumable
+    from stocksight_ray.index.serve import SegmentEngine, ShardedQueryService
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+
+    docs = (
+        ingest_webtext(rd.from_arrow(webtext_table), enrich_concurrency=2, batch_size=128)
+        .drop_columns(["tokens"]).materialize()
+    )
+    out = str(tmp_path / "kguard")
+    build_resumable(docs, out, text_col="text_clean", num_partitions=4,
+                    salt_range=256, shard_docs=256, batch_size=128)
+    svc = ShardedQueryService(out)
+    assert svc.search("stock market", k=0) == []
+    assert svc.search("stock market", k=-1) == []
+    assert SegmentEngine(out, 0).search("stock market", k=0) == []
+    svc.shutdown()

@@ -143,8 +143,17 @@ def exact_median(ds, col: str) -> float:
     middle index(es) inside their block(s) → fetch only those blocks' values.
     Driver state is O(#blocks); the column never materializes on the driver.
     """
-    sorted_ds = ds.select_columns([col]).sort(col).materialize()
-    n = sorted_ds.count()
+    import pyarrow.compute as _pc
+
+    sorted_ds = (
+        ds.select_columns([col])
+        .map_batches(
+            lambda b: b.filter(_pc.is_valid(b[col])), batch_format="pyarrow"
+        )
+        .sort(col)
+        .materialize()
+    )
+    n = sorted_ds.count()  # non-null count — nulls are excluded above
     if n == 0:
         return float("nan")
     lo, hi = (n - 1) // 2, n // 2  # lower/upper middle (equal when odd)

@@ -94,28 +94,29 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     )
 
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
 def _perm_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, np.iinfo(np.int64).max, size=num_perm, dtype=np.uint64)
+    a |= np.uint64(1)  # odd multipliers — required by multiply-shift
+    b = rng.randint(0, np.iinfo(np.int64).max, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(text: str, num_perm: int = 64, ngram: int = 3,
                       params: Optional[Tuple[np.ndarray, np.ndarray]] = None) -> np.ndarray:
-    """num_perm-wide minhash over word-n-gram shingles (universal hashing
-    x→(a*x+b) mod 2^61-1; published scheme, Broder 1997)."""
+    """num_perm-wide minhash over word-n-gram shingles.
+
+    Permutation family: Dietzfelbinger-style multiply-shift, h_i(x) =
+    (a_i*x + b_i) mod 2^64 with odd a_i (exact in uint64 wraparound
+    arithmetic; 2-universal enough for min-wise use — we deliberately do
+    NOT claim the exact mod-p Carter-Wegman family, whose 61-bit modular
+    product cannot be computed exactly in vectorized uint64)."""
     if params is None:
         params = _perm_params(num_perm)
     a, b = params
-    h = _shingle_hashes(text, ngram) & _MERSENNE
+    h = _shingle_hashes(text, ngram)
     with np.errstate(over="ignore"):
-        # (num_perm, n_shingles) — modmul in uint64 is exact because operands
-        # are < 2^61 and we reduce via split multiply
-        vals = (h[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+        vals = h[None, :] * a[:, None] + b[:, None]  # exact mod 2^64
     return vals.min(axis=1)
 
 
@@ -149,11 +150,17 @@ def minhash_lsh_dedup(
       the smallest id over repeated application — one pass matches the
       standard one-shot LSH dedup used in web-corpus pipelines).
 
-    Shuffle volume: bands × N rows of (int64, int64) — independent of doc
-    size. Bucket skew: identical boilerplate docs land in one bucket; the
-    per-bucket verify is O(bucket²) pair-capped (PAIR_CAP) with
-    deterministic truncation, logged in the output.
+    Shuffle volume: bands × N rows of (int64, int64, shingle-digest) — the
+    digest is the doc's sorted 8-byte shingle hashes, NOT the text, so row
+    width is ~8B × shingle count (bounded, and what exact-Jaccard needs
+    anyway: Jaccard over 64-bit shingle hashes equals Jaccard over shingles
+    up to negligible collision mass).  Bucket skew: identical boilerplate
+    docs land in one bucket; the per-bucket verify is O(bucket²)
+    pair-capped (PAIR_CAP) with deterministic truncation reported via
+    logging.warning.
     """
+    import logging
+
     rows_per_band = num_perm // bands
     params = _perm_params(num_perm)
     PAIR_CAP = 10_000
@@ -161,20 +168,21 @@ def minhash_lsh_dedup(
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        out_key, out_id, out_text = [], [], []
+        out_key, out_id, out_dig = [], [], []
         for i, t in enumerate(texts):
             sig = minhash_signature(t, num_perm, ngram, params)
+            digest = np.sort(_shingle_hashes(t, ngram)).tobytes()
             for bi in range(bands):
                 band = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 key = zlib.crc32(struct.pack("i", bi) + band.tobytes())
                 out_key.append((bi << 32) | key)
                 out_id.append(int(ids[i]))
-                out_text.append(t)
+                out_dig.append(digest)
         return pa.table(
             {
                 "band_key": pa.array(out_key, pa.int64()),
                 id_col: pa.array(out_id, pa.int64()),
-                text_col: pa.array(out_text, pa.string()),
+                "digest": pa.array(out_dig, pa.binary()),
             }
         )
 
@@ -183,17 +191,29 @@ def minhash_lsh_dedup(
             return pd.DataFrame({"doc": [], "neighbor": []})
         g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
-        sh = [shingles(t, ngram) for t in g[text_col]]
+        sh = [np.frombuffer(d, dtype=np.uint64) for d in g["digest"]]
         doc, neigh = [], []
         pairs = 0
+        truncated = False
         for i in range(len(ids)):
+            if truncated:
+                break
             for j in range(i + 1, len(ids)):
                 if pairs >= PAIR_CAP:
+                    truncated = True
                     break
                 pairs += 1
-                if jaccard(sh[i], sh[j]) >= threshold:
+                inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
+                union = sh[i].size + sh[j].size - inter
+                if union and inter / union >= threshold:
                     doc.append(int(ids[j]))
                     neigh.append(int(ids[i]))
+        if truncated:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_dedup: bucket with %d docs hit PAIR_CAP=%d — "
+                "%d candidate pairs not verified (salt band keys or raise cap)",
+                len(ids), PAIR_CAP, len(ids) * (len(ids) - 1) // 2 - pairs,
+            )
         return pd.DataFrame({"doc": doc, "neighbor": neigh})
 
     def decide(g: pd.DataFrame) -> pd.DataFrame:
@@ -308,18 +328,20 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        key, did, txt = [], [], []
+        key, did, dig = [], [], []
         for i, t in enumerate(texts):
             sig = minhash_signature(t, num_perm, ngram, params)
+            digest = np.sort(_shingle_hashes(t, ngram)).tobytes()
             for bi in range(bands):
                 band = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 key.append((bi << 32) | zlib.crc32(band.tobytes()))
                 did.append(int(ids[i]))
-                txt.append(t)
+                dig.append(digest)
+        # shuffle rows are (key, id, shingle-digest) — no document text
         return pa.table({
             "band_key": pa.array(key, pa.int64()),
             id_col: pa.array(did, pa.int64()),
-            text_col: pa.array(txt, pa.string()),
+            "digest": pa.array(dig, pa.binary()),
         })
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -327,11 +349,13 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             return pd.DataFrame({"a": [], "b": [], "jacc": []})
         g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
-        sh = [shingles(t, ngram) for t in g[text_col]]
+        sh = [np.frombuffer(d, dtype=np.uint64) for d in g["digest"]]
         a, b, jc = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                v = jaccard(sh[i], sh[j])
+                inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
+                union = sh[i].size + sh[j].size - inter
+                v = inter / union if union else 0.0
                 if v >= threshold:
                     a.append(int(ids[i])); b.append(int(ids[j])); jc.append(v)
         return pd.DataFrame({"a": a, "b": b, "jacc": jc})
@@ -344,16 +368,9 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("band_key")
         .map_groups(verify, batch_format="pandas")
     )
-
-    def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["pair"] = batch["a"] * np.int64(1 << 31) + batch["b"]
-        return batch
-
-    return (
-        pairs.map_batches(key_batch, batch_format="pandas")
-        .groupby("pair")
-        .map_groups(dedup_pair, batch_format="pandas")
-    )
+    # cross-bucket pair dedup on BOTH id columns (a composite a*C+b key
+    # would collide once ids exceed C)
+    return pairs.groupby(["a", "b"]).map_groups(dedup_pair, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +385,12 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     Returns (id_col, keep) decisions for candidate docs (min-id keeper).
 
     ``bands`` bands of num_planes/bands sign bits each; a pair at cosine ≥
-    threshold collides in ≥1 band with high probability."""
+    threshold collides in ≥1 band with high probability.
+
+    Shuffle rows carry the vector itself (needed for the exact cosine
+    verify) ``bands`` times — at scale, quantize (e.g. int8) or ship
+    (band_key, id) and verify in a second co-partitioned pass against the
+    stored embedding table."""
     bits_per_band = num_planes // bands
 
     class BandRows:

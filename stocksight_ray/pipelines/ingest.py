@@ -283,17 +283,24 @@ def ingest_webtext(
     import ray.data as rd
 
     if isinstance(input_path, str):
-        ds = rd.read_parquet(input_path, columns=["url", "warc_ts", "html", "lang"])
+        import pyarrow.dataset as pads
+
+        avail = set(pads.dataset(input_path).schema.names)
+        cols = [c for c in ["url", "warc_ts", "html", "lang"] if c in avail]
+        ds = rd.read_parquet(input_path, columns=cols)
     else:
         ds = input_path
-    if langs:
-        lang_list = list(langs)
-        ds = ds.filter(expr=f"lang in {lang_list}")
-    # input row count from parquet metadata / block metadata (no execution)
+    # input row count BEFORE any filter: parquet/block metadata only — a
+    # count() on the filtered dataset would execute the whole read twice
     try:
         ds_input_count = ds.count() if out_dir is not None else None
     except Exception:
         ds_input_count = None
+    if langs:
+        if "lang" not in ds.schema().names:
+            raise ValueError("langs= filter requires a lang column in the input")
+        lang_list = list(langs)
+        ds = ds.filter(expr=f"lang in {lang_list}")
 
     if enrich_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -321,7 +328,7 @@ def ingest_webtext(
         import time
 
         t0 = time.time()
-        n_input = ds_input_count
+        n_input = ds_input_count if ds_input_count is not None else 0
         docs = ds.drop_columns(["tokens"])
         docs.write_parquet(os.path.join(out_dir, "docs"))
         import pyarrow.dataset as pads

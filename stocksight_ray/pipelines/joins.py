@@ -118,6 +118,8 @@ def hash_join(
     key upstream (duplicate the small-side rows per salt) when a single key's
     rows exceed task memory.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join supports how='inner'|'left', got {how!r}")
     lcols = [c for c in left_cols if c != on]
     rcols = [c for c in right_cols if c != on]
 

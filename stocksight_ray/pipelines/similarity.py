@@ -59,13 +59,18 @@ def brute_force_topk(
         kk = min(k, nb)
         out_q, out_id, out_s = [], [], []
         for qi in range(nq):
-            # partial top-k then deterministic (score desc, id asc) order
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
-            order = np.lexsort((ids[idx], -sims[qi][idx]))
-            sel = idx[order]
+            # select ALL candidates >= the kth-largest score (keeps score
+            # ties intact — argpartition alone would drop an arbitrary
+            # subset of tied ids at the k boundary, breaking the
+            # (score desc, id asc) contract), then order deterministically
+            row = sims[qi]
+            thresh = np.partition(row, nb - kk)[nb - kk]
+            cand = np.flatnonzero(row >= thresh)
+            order = np.lexsort((ids[cand], -row[cand]))[:kk]
+            sel = cand[order]
             out_q.extend([qi] * kk)
             out_id.extend(ids[sel].tolist())
-            out_s.extend(sims[qi][sel].tolist())
+            out_s.extend(row[sel].tolist())
         return pa.table(
             {
                 "query_idx": pa.array(out_q, pa.int64()),

@@ -235,3 +235,50 @@ def test_sampling_ops(ray_session):
     st = stratified_head(docs, "lang", 10, ["doc_id"]).to_pandas()
     exp = pdf.sort_values("doc_id").groupby("lang").head(10)
     assert sorted(st["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_hash_join_rejects_unsupported_mode(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "a": pa.array([1.0])})
+    with pytest.raises(ValueError):
+        hash_join(rd.from_arrow(t), rd.from_arrow(t), on="k",
+                  left_cols=["a"], right_cols=["a"], how="outer")
+
+
+def test_brute_force_tie_handling(ray_session):
+    """Score-tied vectors at the k boundary must resolve by id asc."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.similarity import brute_force_topk
+
+    v = [1.0, 0.0]
+    t = pa.table({
+        "vec_id": pa.array([9, 3, 7, 1, 5], pa.int64()),
+        "embedding": pa.array([v, v, v, v, [0.0, 1.0]], pa.list_(pa.float64())),
+    })
+    got = brute_force_topk(rd.from_arrow(t).repartition(3), np.array([v]), k=3).to_pandas()
+    assert list(got["vec_id"]) == [1, 3, 7]  # tied score -> smallest ids
+
+
+def test_exact_median_ignores_nulls(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.aggs import exact_median
+
+    t = pa.table({"x": pa.array([1.0, None, None, None, 2.0], pa.float64())})
+    assert exact_median(rd.from_arrow(t), "x") == 1.5
+
+
+def test_ingest_without_lang_column(ray_session, webtext_table):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+
+    no_lang = webtext_table.select(["url", "warc_ts", "html"])
+    out = ingest_webtext(rd.from_arrow(no_lang), enrich_concurrency=2, batch_size=128)
+    assert out.count() > 0
+    with pytest.raises(ValueError):
+        ingest_webtext(rd.from_arrow(no_lang), langs=("en",)).count()

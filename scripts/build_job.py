@@ -64,6 +64,9 @@ def main() -> None:
     docs = ingest_webtext(ds).drop_columns(["tokens"]).materialize()
     n_docs = docs.count()
     docs_dir = os.path.join(args.out, "docs")
+    import shutil
+
+    shutil.rmtree(docs_dir, ignore_errors=True)  # write_parquet appends
     docs.write_parquet(docs_dir)
     t_ingest = time.time() - t0
 

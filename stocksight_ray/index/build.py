@@ -194,6 +194,35 @@ def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def assemble_partition_table(group: pd.DataFrame) -> pa.Table:
+    """Shared partition assembly: sort encoded runs by (term, salt) — the
+    docid order concat_runs requires — and concatenate per term into the
+    final (term, df, cf, meta, payload) table.  Used by the single-pass
+    writer AND the segment writer so the two paths cannot diverge."""
+    group = group.sort_values(["term", "salt"], kind="stable")
+    terms: List[str] = []
+    dfs: List[int] = []
+    cfs: List[int] = []
+    metas: List[bytes] = []
+    payloads: List[bytes] = []
+    for term, g in group.groupby("term", sort=True):
+        meta_b, payload = codec.concat_runs(list(zip(g["meta"], g["payload"])))
+        terms.append(term)
+        dfs.append(int(g["df"].sum()))
+        cfs.append(int(g["cf"].sum()))
+        metas.append(meta_b)
+        payloads.append(payload)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            "cf": pa.array(cfs, pa.int64()),
+            "meta": pa.array(metas, pa.binary()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
 def make_partition_writer(out_dir: str):
     """Per-partition assembly + atomic write. Returns a manifest row."""
 
@@ -201,29 +230,7 @@ def make_partition_writer(out_dir: str):
         import pyarrow.parquet as pq
 
         part = int(group["part"].iloc[0])
-        group = group.sort_values(["term", "salt"], kind="stable")
-        terms: List[str] = []
-        dfs: List[int] = []
-        cfs: List[int] = []
-        metas: List[bytes] = []
-        payloads: List[bytes] = []
-        for term, g in group.groupby("term", sort=True):
-            runs = list(zip(g["meta"], g["payload"]))
-            meta_b, payload = codec.concat_runs(runs)
-            terms.append(term)
-            dfs.append(int(g["df"].sum()))
-            cfs.append(int(g["cf"].sum()))
-            metas.append(meta_b)
-            payloads.append(payload)
-        tbl = pa.table(
-            {
-                "term": pa.array(terms, pa.string()),
-                "df": pa.array(dfs, pa.int64()),
-                "cf": pa.array(cfs, pa.int64()),
-                "meta": pa.array(metas, pa.binary()),
-                "payload": pa.array(payloads, pa.binary()),
-            }
-        )
+        tbl = assemble_partition_table(group)
         os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
         final = os.path.join(out_dir, "index", f"part-{part:05d}.parquet")
         tmp = final + ".tmp"
@@ -232,8 +239,8 @@ def make_partition_writer(out_dir: str):
         return pd.DataFrame(
             {
                 "part": [part],
-                "n_terms": [len(terms)],
-                "n_postings": [int(sum(dfs))],
+                "n_terms": [tbl.num_rows],
+                "n_postings": [int(pa.compute.sum(tbl["df"]).as_py() or 0)],
                 "bytes": [os.path.getsize(final)],
             }
         )
@@ -293,7 +300,13 @@ def build_index(
             return tokenized
         return docs.map_batches(TokenizeStage, **tokenize_kwargs)
 
-    # Norms table — the query-side doc_len store.
+    # Norms table — the query-side doc_len store.  Clear first: Ray's
+    # write_parquet appends UUID-named files, so a rebuild into the same
+    # out_dir would double every doc (wrong N/avgdl/idf).
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "norms"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "index"), ignore_errors=True)
     _tokens_ds().select_columns(["doc_id", "doc_len"]).write_parquet(
         os.path.join(out_dir, "norms")
     )

@@ -69,10 +69,14 @@ class _TermPostings:
         """Concatenated (docids, tfs) across all blocks, cached — the warm
         serving path.  Bounded per serving shard (salt-range sharding at
         trillion-doc scale); a cold-path engine can stay block-lazy via
-        block()/wand_doc."""
+        block()/wand_doc.  Decodes locally WITHOUT populating the per-block
+        cache (that would hold every posting twice in deep-warmed actors)."""
         f = self.blocks.get(-1)
         if f is None:
-            parts = [self.block(bi) for bi in range(self.meta.size)]
+            parts = [
+                codec.decode_block(self.payload, self.meta[bi])
+                for bi in range(self.meta.size)
+            ]
             f = (
                 np.concatenate([d for d, _ in parts]),
                 np.concatenate([t for _, t in parts]),
@@ -237,16 +241,31 @@ class QueryEngine:
         top_scores = np.empty(0, dtype=np.float64)
         theta = -np.inf
 
-        for a in range(0, max_doc + 1, W):
+        # Sweep only OCCUPIED windows: start at the smallest posted docid and
+        # after each window jump to the next docid any term posts — cost is
+        # O(occupied windows), not O(docid range), so sparse/offset id spaces
+        # (salt-range shards at 10^12 ids) don't pay for empty ranges.
+        min_doc = min(int(t[2].meta["first"][0]) for t in terms)
+        nxt = (min_doc // W) * W
+        while nxt <= max_doc:
+            a = nxt
             b_end = a + W
             overlaps = []
             ub_sum = 0.0
+            next_doc = None  # smallest posted docid >= b_end (for the jump)
             for qi, w, p, ub in terms:
                 lo = int(np.searchsorted(p.meta["last"], a, side="left"))
                 hi = int(np.searchsorted(p.meta["first"], b_end, side="left"))
                 if hi > lo:
                     ub_sum += float(ub[lo:hi].max())
                     overlaps.append((qi, w, p, lo, hi))
+                # candidate next occupied docid for this term: the first block
+                # whose last >= b_end starts at max(first, b_end)
+                nb = int(np.searchsorted(p.meta["last"], b_end, side="left"))
+                if nb < p.meta.size:
+                    cand = max(int(p.meta[nb]["first"]), b_end)
+                    next_doc = cand if next_doc is None else min(next_doc, cand)
+            nxt = max_doc + 1 if next_doc is None else (next_doc // W) * W
             if not overlaps:
                 continue
             # Skip the whole window (no decode) when even the sum of block-max
@@ -435,9 +454,15 @@ class QueryEngine:
         query term, scored with the same BM25 sum (ES ``match`` with
         ``operator: and``).  Vectorized: smallest-df term first, running
         intersection of decoded docid arrays, then score the survivors."""
+        return self._search_and_terms(self.analyze_query(query), k)
+
+    def _search_and_terms(self, terms: List[str], k: int) -> List[Tuple[int, float]]:
+        """AND over PRE-ANALYZED terms — callers that already hold index
+        terms (search_phrase) must NOT round-trip them through the analyzer:
+        the stop filter runs before Porter stemming, so a stem that equals a
+        stopword (e.g. 'willing' → 'will') would vanish on re-analysis."""
         if k <= 0:
             return []
-        terms = self.analyze_query(query)
         posts = [(t, self.lookup(t)) for t in terms]
         if not posts or any(p is None for _, p in posts):
             return []  # a missing term empties the conjunction
@@ -445,9 +470,7 @@ class QueryEngine:
         cand: Optional[np.ndarray] = None
         decoded = {}
         for t, p in posts_sorted:
-            parts = [p.block(bi) for bi in range(p.meta.size)]
-            ids = np.concatenate([d for d, _ in parts])
-            tfs = np.concatenate([x for _, x in parts])
+            ids, tfs = p.full()
             decoded[t] = (ids, tfs)
             cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
             if cand.size == 0:
@@ -484,7 +507,8 @@ class QueryEngine:
         terms = [t for t in self._analyze(query)]  # keep duplicates + order
         if not terms:
             return []
-        cand_scored = self.search_and(" ".join(dict.fromkeys(terms)), k=1 << 30)
+        # pre-analyzed terms go straight to the AND scorer — no re-analysis
+        cand_scored = self._search_and_terms(list(dict.fromkeys(terms)), k=1 << 30)
         if not cand_scored:
             return []
         cand_ids = np.array([d for d, _ in cand_scored], dtype=np.int64)
@@ -532,7 +556,11 @@ class QueryEngine:
             columns=["doc_id", sort_col],
             filter=pads.field("doc_id").isin(ids),
         )
-        rows = list(zip(tbl["doc_id"].to_pylist(), tbl[sort_col].to_pylist()))
+        rows = [
+            (d, v)
+            for d, v in zip(tbl["doc_id"].to_pylist(), tbl[sort_col].to_pylist())
+            if v is not None  # ES sorts missing last; we drop them (documented)
+        ]
         if descending:
             rows.sort(key=lambda r: (r[1], -r[0]), reverse=True)  # val desc, id asc
         else:

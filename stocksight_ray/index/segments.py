@@ -52,6 +52,48 @@ def _shard_dir(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, "segments", f"shard-{shard:05d}")
 
 
+def shard_stats(docs, id_col: str, text_col: str, shard_docs: int) -> dict:
+    """One projected pass over (id, text): per shard, (row count, content
+    fingerprint).  The fingerprint is an order-invariant sum of
+    crc32(text)*(doc_id+1) mod 2^61 — it changes whenever any (doc_id →
+    text) assignment in the range changes, which catches the rank-shift
+    case where an upstream append renumbers docs but leaves interior-shard
+    COUNTS identical (count alone would silently keep a stale segment)."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    MOD = (1 << 61) - 1
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        shard = ids // shard_docs
+        fp = np.fromiter(
+            (
+                (zlib.crc32((t or "").encode()) * (int(i) + 1)) % MOD
+                for i, t in zip(ids, texts)
+            ),
+            np.int64,
+            len(ids),
+        )
+        t = pa.table({"shard": pa.array(shard), "fp": pa.array(fp)})
+        g = pa.TableGroupBy(t, "shard").aggregate([("fp", "sum"), ([], "count_all")])
+        # int64 wraparound on the sums is fine AND required to stay
+        # partition-invariant: mod-2^64 addition is associative/commutative,
+        # so the final fingerprint is identical under any batching.
+        return g.rename_columns(["shard", "p_fp", "p_cnt"])
+
+    rows = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("p_fp", alias_name="fp"), Sum("p_cnt", alias_name="cnt"))
+        .take_all()
+    )
+    return {int(r["shard"]): {"cnt": int(r["cnt"]), "fp": int(r["fp"])} for r in rows}
+
+
 def build_segment(
     docs,
     out_dir: str,
@@ -65,6 +107,7 @@ def build_segment(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     salt_range: int = DEFAULT_SALT_RANGE,
     batch_size: int = 1024,
+    content_fp: Optional[int] = None,
 ) -> dict:
     """Build one shard segment over doc_ids in [lo, hi).  Atomic commit via
     tmp-dir rename; returns the lineage record."""
@@ -105,27 +148,12 @@ def build_segment(
     )
 
     def write_part(group: pd.DataFrame) -> pd.DataFrame:
+        from .build import assemble_partition_table
+
         part = int(group["part"].iloc[0])
-        group = group.sort_values(["term", "salt"], kind="stable")
-        terms, dfs, cfs, metas, payloads = [], [], [], [], []
-        for term, g in group.groupby("term", sort=True):
-            meta_b, payload = codec.concat_runs(list(zip(g["meta"], g["payload"])))
-            terms.append(term)
-            dfs.append(int(g["df"].sum()))
-            cfs.append(int(g["cf"].sum()))
-            metas.append(meta_b)
-            payloads.append(payload)
-        tbl = pa.table(
-            {
-                "term": pa.array(terms, pa.string()),
-                "df": pa.array(dfs, pa.int64()),
-                "cf": pa.array(cfs, pa.int64()),
-                "meta": pa.array(metas, pa.binary()),
-                "payload": pa.array(payloads, pa.binary()),
-            }
-        )
+        tbl = assemble_partition_table(group)
         pq.write_table(tbl, os.path.join(tmp, f"part-{part:05d}.parquet"))
-        return pd.DataFrame({"part": [part], "n_terms": [len(terms)]})
+        return pd.DataFrame({"part": [part], "n_terms": [tbl.num_rows]})
 
     part_rows = (
         merged.groupby("part").map_groups(write_part, batch_format="pandas").to_pandas()
@@ -143,6 +171,7 @@ def build_segment(
         "num_partitions": num_partitions,
         "salt_range": salt_range,
         "format_version": FORMAT_VERSION,
+        "content_fp": content_fp,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / max(wall, 1e-9), 1),
     }
@@ -182,43 +211,30 @@ def build_resumable(
     # O(#shards) driver state.  One cheap aggregation pass (id column only)
     # counts docs per shard, so an APPEND that lands new docs inside an
     # already-committed boundary shard invalidates just that shard.
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
-
-    def shard_counts(batch: pa.Table) -> pa.Table:
-        s = pc.cast(pc.divide(batch[id_col], shard_docs), pa.int64())
-        g = pa.TableGroupBy(pa.table({"shard": s}), "shard").aggregate([([], "count_all")])
-        return g.rename_columns(["shard", "partial"])
-
-    counts = {
-        int(r["shard"]): int(r["cnt"])
-        for r in docs.select_columns([id_col])
-        .map_batches(shard_counts, batch_format="pyarrow")
-        .groupby("shard")
-        .aggregate(Sum("partial", alias_name="cnt"))
-        .take_all()
-    }
-    n_shards = max(counts) + 1 if counts else 0
+    stats = shard_stats(docs, id_col, text_col, shard_docs)
+    n_shards = max(stats) + 1 if stats else 0
     built: List[dict] = []
     todo = range(n_shards) if max_shards is None else range(min(n_shards, max_shards))
     for shard in todo:
         seg = _shard_dir(out_dir, shard)
         marker = os.path.join(seg, "_SUCCESS")
+        cur = stats.get(shard, {"cnt": 0, "fp": 0})
         if os.path.exists(marker):
             with open(os.path.join(seg, "lineage.json")) as f:
                 lin = json.load(f)
-            if lin["n_docs"] == counts.get(shard, 0):
+            if lin["n_docs"] == cur["cnt"] and lin.get("content_fp") == cur["fp"]:
                 built.append(lin)
                 continue
-            # shard range gained docs since commit (incremental append
-            # boundary) — rebuild it
+            # shard range changed since commit — gained docs (append
+            # boundary) OR same count with different (doc_id → text)
+            # content (upstream renumbering) — rebuild it
         built.append(
             build_segment(
                 docs, out_dir, shard,
                 shard * shard_docs, (shard + 1) * shard_docs,
                 text_col=text_col, id_col=id_col, analyzer=analyzer,
                 num_partitions=num_partitions, salt_range=salt_range,
-                batch_size=batch_size,
+                batch_size=batch_size, content_fp=cur["fp"],
             )
         )
     if max_shards is not None and max_shards < n_shards:
@@ -252,7 +268,11 @@ def assemble(
         with open(os.path.join(seg_root, f"shard-{s:05d}", "lineage.json")) as f:
             lineages.append(json.load(f))
 
+    import shutil
+
     t0 = time.time()
+    shutil.rmtree(os.path.join(out_dir, "index"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "norms"), ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "norms"), exist_ok=True)
 

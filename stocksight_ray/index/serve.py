@@ -121,16 +121,21 @@ class SegmentEngine:
             self._tables.update(read_postings_table(p))
 
         # global df for ONLY this shard's terms: projected (term, df) read
-        # of the global partitions — no payload bytes leave storage
+        # of the global partitions, filtered columnar (no per-row Python
+        # loop over the full dictionary, no payload bytes off storage)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         self._global_df = {}
-        own = set(self._tables)
+        own = pa.array(sorted(self._tables), pa.string())
         for p in sorted(
             glob.glob(os.path.join(out_dir, "index", "part-*.parquet"))
         ):
             t = pq.read_table(p, columns=["term", "df"])
-            for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-                if term in own:
-                    self._global_df[term] = int(df)
+            t = t.filter(pc.is_in(t["term"], value_set=own))
+            self._global_df.update(
+                zip(t["term"].to_pylist(), (int(x) for x in t["df"].to_pylist()))
+            )
 
         norms = pq.read_table(os.path.join(seg, "norms.parquet"))
         self._ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype("int64")

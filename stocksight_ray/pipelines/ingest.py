@@ -330,6 +330,10 @@ def ingest_webtext(
         t0 = time.time()
         n_input = ds_input_count if ds_input_count is not None else 0
         docs = ds.drop_columns(["tokens"])
+        import shutil
+
+        # clear: write_parquet appends; a re-run must not double the table
+        shutil.rmtree(os.path.join(out_dir, "docs"), ignore_errors=True)
         docs.write_parquet(os.path.join(out_dir, "docs"))
         import pyarrow.dataset as pads
 

@@ -219,3 +219,53 @@ def test_highlight(ray_session, small_index):
     assert got == "the <em>market</em> rises on <em>earnings</em>"
     assert eng.highlight("", "x") == ""
     assert eng.highlight("plain words here", "zzz") == "plain words here"
+
+
+def test_phrase_with_stopword_stem(ray_session, tmp_path):
+    """'willing' stems to 'will' which is a stopword on re-analysis — the
+    phrase path must not round-trip terms through the analyzer."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stocksight_ray.functions.analyzer import english_analyzer
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.query import QueryEngine
+
+    assert english_analyzer("willing") == ["will"]
+    assert english_analyzer("will") == []  # the trap
+    texts = [
+        "a willing buyer met a willing seller",
+        "completely unrelated text about gardens",
+        "the buyer was not willing at all",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = str(tmp_path / "stopstem")
+    docs_path = os.path.join(out, "docs.parquet")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(docs, docs_path)
+    build_index(rd.from_arrow(docs), out, text_col="text", num_partitions=2,
+                batch_size=4, extra_manifest={"docs_path": docs_path})
+    eng = QueryEngine(out)
+    hits = eng.search_phrase("willing buyer", k=10)
+    assert [d for d, _ in hits] == [0]  # doc 0 has the phrase; doc 2 has not
+
+
+def test_build_into_same_dir_no_doubling(ray_session, tmp_path):
+    import ray.data as rd
+
+    from stocksight_ray.index.build import build_index
+
+    docs = pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array([f"market doc {i}" for i in range(50)], pa.string()),
+    })
+    out = str(tmp_path / "rebuild")
+    m1 = build_index(rd.from_arrow(docs), out, text_col="text", num_partitions=2, batch_size=16)
+    m2 = build_index(rd.from_arrow(docs), out, text_col="text", num_partitions=2, batch_size=16)
+    assert m1["num_docs"] == m2["num_docs"] == 50
+    assert m2["avgdl"] == m1["avgdl"]

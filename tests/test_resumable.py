@@ -152,3 +152,34 @@ def test_incremental_append(ray_session, tmp_path):
         num_partitions=4, salt_range=128, shard_docs=128, batch_size=64,
     )
     assert _results(out) == _results(fresh)
+
+
+def test_stale_shard_detected_on_renumbering(ray_session, tmp_path):
+    """Same per-shard COUNTS but shifted (doc_id -> text) assignment — the
+    content fingerprint must force a rebuild (count-only checks would keep
+    the stale segment and silently corrupt queries)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stocksight_ray.index.segments import build_resumable
+
+    def mk(texts):
+        return pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    base = [f"market doc number {i} earnings data" for i in range(256)]
+    out = str(tmp_path / "stale")
+    build_resumable(rd.from_arrow(mk(base)), out, text_col="text",
+                    num_partitions=4, salt_range=128, shard_docs=128, batch_size=64)
+
+    # renumber: insert a new doc at the front — every id keeps shard counts
+    # (2 full shards of 128) but the (id -> text) mapping shifts
+    shifted = ["zzz brand new first doc"] + base[:-1]
+    m = build_resumable(rd.from_arrow(mk(shifted)), out, text_col="text",
+                        num_partitions=4, salt_range=128, shard_docs=128, batch_size=64)
+    fresh = str(tmp_path / "stale_fresh")
+    build_resumable(rd.from_arrow(mk(shifted)), fresh, text_col="text",
+                    num_partitions=4, salt_range=128, shard_docs=128, batch_size=64)
+    assert _results(out) == _results(fresh)

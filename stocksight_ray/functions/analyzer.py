@@ -47,8 +47,6 @@ def _measure(stem: str) -> int:
     prev_cons = None
     for i in range(len(stem)):
         c = _is_cons(stem, i)
-        if prev_cons and not c:
-            pass  # entering a vowel run
         if prev_cons is False and c:
             m += 1  # V→C transition closes a VC
         prev_cons = c
@@ -184,7 +182,13 @@ _BASIC_TOKEN_RE = re.compile(r"[a-z]+")
 
 
 def english_analyzer(text: str) -> List[str]:
-    """Index terms for one text. Single shared path, index- and query-side."""
+    """Index terms for one text. Single shared path, index- and query-side.
+
+    Curly apostrophes (U+2019, pervasive in real web text) are normalized
+    to ASCII before tokenizing so possessives strip instead of splitting
+    into junk 's' tokens."""
+    if "\u2019" in text:
+        text = text.replace("\u2019", "'")
     out: List[str] = []
     for tok in _STD_TOKEN_RE.findall(text):
         if tok.endswith("'s") or tok.endswith("'S"):

@@ -22,6 +22,11 @@ _ENTITY_RE = re.compile(r"&.*?;")
 _TAG_RE = re.compile(r"<.*?>")
 _HASH_MENTION_RE = re.compile(r"[#|@]\S+")
 
+# RE2's \S is ASCII-only while Python's excludes Unicode whitespace (U+00A0,
+# Zs, NEL, IS4..IS1) — the vectorized kernels must stop runs at the same
+# characters as the row kernels, so spell out Python-\s explicitly for RE2.
+_RE2_NOT_SPACE = r"[^\s\p{Zs}\x{2028}\x{2029}\x{0085}\x{001C}-\x{001F}]"
+
 
 def clean_text(text: str) -> str:
     """Row kernel. Reference: /root/reference/sentiment.py:412-421."""
@@ -47,7 +52,7 @@ def clean_text_array(arr: pa.Array) -> pa.Array:
     RE2 lacks backreferences but all patterns here are plain; ``.*?``
     non-greedy is supported.  Null-safe: nulls propagate."""
     arr = pc.replace_substring(arr, "\n", " ")
-    arr = pc.replace_substring_regex(arr, r"https?\S+", "")
+    arr = pc.replace_substring_regex(arr, r"https?" + _RE2_NOT_SPACE + "+", "")
     arr = pc.replace_substring_regex(arr, r"&.*?;", "")
     arr = pc.replace_substring_regex(arr, r"<.*?>", "")
     arr = pc.replace_substring(arr, "RT", "")
@@ -56,7 +61,7 @@ def clean_text_array(arr: pa.Array) -> pa.Array:
 
 
 def clean_text_sentiment_array(arr: pa.Array) -> pa.Array:
-    arr = pc.replace_substring_regex(arr, r"[#|@]\S+", "")
+    arr = pc.replace_substring_regex(arr, r"[#|@]" + _RE2_NOT_SPACE + "+", "")
     return pc.utf8_trim_whitespace(arr)
 
 

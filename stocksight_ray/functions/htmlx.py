@@ -47,6 +47,17 @@ class TextNode:
         return f"TextNode({self.data!r})"
 
 
+class CommentNode(TextNode):
+    """HTML comment.  Subclasses TextNode deliberately: bs4's Comment is a
+    NavigableString subclass, so a comment occupies a position in the
+    ``.next`` chain, a tag whose ONLY child is a comment has a non-None
+    ``.string`` (the comment text), and a tag with text + comment children
+    has ``.string is None`` — all of which the extractors must replicate."""
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"CommentNode({self.data!r})"
+
+
 class TagNode:
     __slots__ = ("name", "attrs", "children")
 
@@ -88,6 +99,10 @@ class _DomBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if data:
             self._pending_text.append(data)
+
+    def handle_comment(self, data: str) -> None:
+        self._flush_text()
+        self._stack[-1].children.append(CommentNode(data))
 
     def handle_starttag(self, tag: str, attrs) -> None:
         self._flush_text()

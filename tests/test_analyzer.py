@@ -75,3 +75,12 @@ def test_basic_analyzer_matches_duckdb_semantics():
             [t],
         ).fetchone()[0]
         assert basic_analyzer(t) == sql, t
+
+
+def test_curly_apostrophe_possessive():
+    from stocksight_ray.functions.analyzer import english_analyzer
+
+    assert english_analyzer("the investor’s gains") == english_analyzer(
+        "the investor's gains"
+    )
+    assert "s" not in english_analyzer("the investor’s gains")

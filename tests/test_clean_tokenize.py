@@ -71,3 +71,29 @@ def test_token_pipeline_golden():
 def test_tokens_deterministic():
     text = "Stocks surge as markets rally; investors are happy!"
     assert nltk_style_tokens(text) == nltk_style_tokens(text)
+
+
+def test_vectorized_clean_matches_row_on_unicode_whitespace():
+    """RE2 \\S is ASCII-only; the vectorized kernels must stop at the same
+    Unicode whitespace as the Python row kernels (U+00A0, thin space...)."""
+    import pyarrow as pa
+
+    from stocksight_ray.functions.clean import (
+        clean_text, clean_text_array, clean_text_sentiment,
+        clean_text_sentiment_array,
+    )
+
+    cases = [
+        "see https://x.com\xa0next words",
+        "hello @user\xa0world and #tag done",
+        "u https://a b end",
+        "#x\x85y plain",
+    ]
+    arr = pa.array(cases, pa.string())
+    for t, v, sv in zip(
+        cases,
+        clean_text_array(arr).to_pylist(),
+        clean_text_sentiment_array(arr).to_pylist(),
+    ):
+        assert v == clean_text(t)
+        assert sv == clean_text_sentiment(t)

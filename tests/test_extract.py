@@ -80,3 +80,16 @@ def test_poison_html_never_crashes():
         out = extract_page_text(c)
         assert isinstance(out, str)
         assert isinstance(extract_headlines(c), list)
+
+
+def test_comment_semantics_match_bs4():
+    """Comments are NavigableString-like: they occupy .next positions, make
+    mixed-content paragraphs .string-None, and a comment-only <p> yields
+    the comment text (bs4 parity on the byte-identity surface)."""
+    from stocksight_ray.functions.htmlx import extract_headlines, extract_page_text
+
+    assert extract_page_text("<p>Real text<!-- ad --></p><p>Second</p>") == "Second"
+    assert extract_page_text("<p><!-- only --></p><p>Kept</p>") == " only \nKept"
+    # a comment before <a> shifts the .next^4 successor off the headline
+    assert extract_headlines("<h3><!-- c --><a><u><b>H</b></u></a></h3>") == []
+    assert extract_headlines("<h3><a><u><b>H</b></u></a></h3>") == ["H"]

@@ -69,3 +69,14 @@ def test_determinism_golden():
     again = sentiment_analysis("markets rally strongly, investors very happy!")
     assert got == again
     assert got[2] == "positive"
+
+
+def test_quoted_words_and_bigram_boosters():
+    from stocksight_ray.functions.sentiment import sentiment_analysis, vader_compound
+
+    # quoted sentiment words still hit the lexicon
+    plain = sentiment_analysis("the results were good")
+    quoted = sentiment_analysis("the results were 'good'")
+    assert quoted[0] == plain[0] and quoted[2] == plain[2]
+    # 'kind of' dampens relative to the bare word
+    assert abs(vader_compound("kind of good")) < abs(vader_compound("good"))

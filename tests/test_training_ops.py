@@ -148,8 +148,8 @@ def test_fingerprint_deterministic(ray_session, docs_ds):
     # spot-check against the scalar implementation
     sample = got.head(20)
     for _, r in sample.iterrows():
-        expect = fingerprint(r["text"])
-        assert (int(r["fingerprint"]) & 0xFFFFFFFFFFFFFFFF) == expect
+        # scalar and column share ONE signed-int64 representation
+        assert int(r["fingerprint"]) == fingerprint(r["text"])
     # distinct texts → distinct fingerprints (no collision at this scale)
     assert got["fingerprint"].nunique() == got["text"].nunique()
 

@@ -232,19 +232,32 @@ def q15_orders_mktsegment(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
-    def join_combine(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
-        segs = [lut.get(k) for k in batch["o_custkey"].to_pylist()]
-        t = pa.table(
-            {"c_mktsegment": pa.array(segs, pa.string()), "o_totalprice": batch["o_totalprice"]}
-        ).filter(pa.compute.is_valid(pa.array(segs, pa.string())))
-        g = pa.TableGroupBy(t, "c_mktsegment").aggregate(
-            [("o_totalprice", "sum"), ([], "count_all")]
-        )
-        return g.rename_columns(["c_mktsegment", "p_price", "p_cnt"])
+    class JoinCombine:
+        """Actor: the broadcast dict deserializes ONCE per actor (plain
+        dicts are pickled by the object store, not zero-copy — per-batch
+        ray.get would unpickle the whole table every batch)."""
+
+        def __init__(self, ref):
+            self.lut = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = pa.array(
+                [self.lut.get(k) for k in batch["o_custkey"].to_pylist()],
+                pa.string(),
+            )
+            t = pa.table(
+                {"c_mktsegment": segs, "o_totalprice": batch["o_totalprice"]}
+            ).filter(pa.compute.is_valid(segs))
+            g = pa.TableGroupBy(t, "c_mktsegment").aggregate(
+                [("o_totalprice", "sum"), ([], "count_all")]
+            )
+            return g.rename_columns(["c_mktsegment", "p_price", "p_cnt"])
 
     df = (
-        orders.map_batches(join_combine, batch_format="pyarrow")
+        orders.map_batches(
+            JoinCombine, fn_constructor_args=(lookup_ref,),
+            batch_format="pyarrow", concurrency=2,
+        )
         .groupby("c_mktsegment")
         .aggregate(Sum("p_cnt", alias_name="order_cnt"), Sum("p_price", alias_name="sum_totalprice"))
         .to_pandas()
@@ -271,7 +284,13 @@ def q16_knn(sf_dir: str):
 def q17_events_ohlc(sf_dir: str):
     from stocksight_ray.pipelines.stockprice import ohlc_bucket
 
-    return ohlc_bucket(_events(sf_dir), "user_id", "ts", "value", 86400)
+    # tiebreak on event_id matches the oracle's ORDER BY ts, event_id —
+    # without it, duplicate (user_id, ts) rows would make open/close
+    # nondeterministic
+    return ohlc_bucket(
+        _events(sf_dir), "user_id", "ts", "value", 86400,
+        tiebreak_cols=("event_id",),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -285,21 +304,26 @@ def q18_bm25(sf_dir: str):
     from stocksight_ray.index.build import build_index
     from stocksight_ray.index.query import QueryEngine
 
+    import shutil
+
     out_dir = tempfile.mkdtemp(prefix="q18_index_")
-    build_index(
-        _docs(sf_dir), out_dir, text_col="text", id_col="doc_id",
-        num_partitions=8, batch_size=256,
-    )
-    eng = QueryEngine(out_dir)
-    queries = ["table scan", "window sort merge", "spark query", "hash join batch", "stream"]
-    frames = []
-    for qid, q in enumerate(queries):
-        t = eng.search_table(q, k=10).to_pandas()
-        t.insert(0, "query_id", qid)
-        frames.append(t)
-    res = pd.concat(frames, ignore_index=True)
-    res["score"] = res["score"].round(6)
-    return res
+    try:
+        build_index(
+            _docs(sf_dir), out_dir, text_col="text", id_col="doc_id",
+            num_partitions=8, batch_size=256,
+        )
+        eng = QueryEngine(out_dir)
+        queries = ["table scan", "window sort merge", "spark query", "hash join batch", "stream"]
+        frames = []
+        for qid, q in enumerate(queries):
+            t = eng.search_table(q, k=10).to_pandas()
+            t.insert(0, "query_id", qid)
+            frames.append(t)
+        res = pd.concat(frames, ignore_index=True)
+        res["score"] = res["score"].round(6)
+        return res
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q19_minhash_dedup(sf_dir: str):
@@ -675,6 +699,8 @@ def q37_bm25_modes(sf_dir: str):
     from stocksight_ray.index.build import build_index
     from stocksight_ray.index.query import QueryEngine
 
+    import shutil
+
     out_dir = tempfile.mkdtemp(prefix="q37_index_")
     docs_path = os.path.join(sf_dir, "documents.parquet")
     build_index(
@@ -699,9 +725,11 @@ def q37_bm25_modes(sf_dir: str):
         )
         for rank, (d, sc) in enumerate(hits, start=1):
             frames.append((qid, mode, q, rank, d, round(sc, 6)))
-    return pd.DataFrame(
+    out = pd.DataFrame(
         frames, columns=["query_id", "mode", "query", "rank", "doc_id", "score"]
     )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 def q38_uniq_users_daily(sf_dir: str):
@@ -933,6 +961,8 @@ def entry() -> Any:
     enriched = ingest_webtext(rd.from_arrow(corpus))
     docs = enriched.drop_columns(["tokens"]).materialize()
 
+    import shutil
+
     out_dir = tempfile.mkdtemp(prefix="entry_index_")
     build_index(docs, out_dir, text_col="text_clean", num_partitions=8, batch_size=256)
     eng = QueryEngine(out_dir)
@@ -943,6 +973,7 @@ def entry() -> Any:
         t.insert(0, "query_id", qid)
         rows.append(t)
     res = pd.concat(rows, ignore_index=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     # sf contract: touch the driver-generated table too
     n_docs = rd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet")).count()

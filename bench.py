@@ -41,7 +41,6 @@ N_PAGES = max(2000, int(200_000 * SF))  # 20k pages at sf0.1
 # Scaling runs need enough per-core work that compute dominates the fixed
 # session/actor-pool costs — 5× the headline corpus (100k pages at sf0.1).
 N_PAGES_SCALING = 5 * N_PAGES
-CORPUS_DIR = f"/tmp/bench_webtext_{N_PAGES}"
 
 
 def ensure_corpus(n_pages: int = None) -> str:
@@ -49,8 +48,13 @@ def ensure_corpus(n_pages: int = None) -> str:
     corpus_dir = f"/tmp/bench_webtext_{n}"
     marker = os.path.join(corpus_dir, "_DONE")
     if not os.path.exists(marker):
+        import shutil
+
         from stocksight_ray.webtext import write_webtext_parquet
 
+        # clear any partial write from an interrupted run — parquet writes
+        # append, so stale shards would silently duplicate corpus rows
+        shutil.rmtree(corpus_dir, ignore_errors=True)
         write_webtext_parquet(corpus_dir, n, rows_per_file=4000)
         with open(marker, "w") as f:
             f.write("ok")
@@ -121,12 +125,6 @@ def run_query_bench(index_dir: str) -> dict:
         "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 3),
         "mean_ms": round(float(lat.mean()) * 1000, 3),
     }
-
-
-def timed(fn, *args, **kw):
-    t0 = time.time()
-    fn(*args, **kw)
-    return round(time.time() - t0, 3)
 
 
 def run_ops_bench() -> dict:

@@ -60,8 +60,9 @@ def main() -> None:
     from stocksight_ray.pipelines.ingest import ingest_webtext
 
     t0 = time.time()
-    ds = rd.read_parquet(args.input, columns=["url", "warc_ts", "html", "lang"])
-    docs = ingest_webtext(ds).drop_columns(["tokens"]).materialize()
+    # ingest_webtext intersects the column list with the file schema (lang
+    # is optional) — don't duplicate the read logic here
+    docs = ingest_webtext(args.input).drop_columns(["tokens"]).materialize()
     n_docs = docs.count()
     docs_dir = os.path.join(args.out, "docs")
     import shutil

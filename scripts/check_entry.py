@@ -99,7 +99,7 @@ def main():
             verdict = compare(name, got, exp)
         else:
             verdict = f"rows-only ({len(got)} rows)"
-        flag = "" if ("OK" in verdict or "rows-only" in verdict) else "  <-- FAIL"
+        flag = "" if (verdict == "OK" or verdict.startswith("rows-only")) else "  <-- FAIL"
         if flag:
             failures += 1
         print(f"{name:28s} {dt:6.1f}s  {verdict}{flag}")

@@ -56,7 +56,8 @@ def pct_change_last(ds, key: str, ts: str, col: str):
     return ds.groupby(key).map_groups(chg, batch_format="pandas")
 
 
-def ohlc_bucket(ds, key: str, ts: str, price_col: str, interval_sec: int = 7200):
+def ohlc_bucket(ds, key: str, ts: str, price_col: str, interval_sec: int = 7200,
+                tiebreak_cols=()):
     """Per (key, time bucket): open/high/low/close of ``price_col`` —
     the stock-chart aggregation Kibana renders (date_histogram + metric
     aggs, /root/reference/export.json stocksight_stockprice panel).
@@ -72,12 +73,15 @@ def ohlc_bucket(ds, key: str, ts: str, price_col: str, interval_sec: int = 7200)
             ),
             pa.int64(),
         )
-        return pa.table(
-            {key: batch[key], "bucket": bucket, ts: batch[ts], price_col: batch[price_col]}
-        )
+        cols = {key: batch[key], "bucket": bucket, ts: batch[ts], price_col: batch[price_col]}
+        for c in tiebreak_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    order_cols = [ts] + list(tiebreak_cols)
 
     def ohlc(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="stable")
+        g = g.sort_values(order_cols, kind="stable")
         s = g[price_col].dropna()
         return pd.DataFrame(
             {

@@ -753,6 +753,39 @@ def q38_uniq_users_daily(sf_dir: str):
     return count_distinct(ds, "bucket", "user_id", out="uniq_users")
 
 
+def q39_quantile_sketch(sf_dir: str):
+    """Approximate quantiles (mergeable weighted summary) beside the exact
+    median — rows-only (approximation has no SQL-exact oracle)."""
+    from stocksight_ray.pipelines.aggs import approx_quantiles, exact_median
+
+    qs = approx_quantiles(_events(sf_dir), "value", [0.1, 0.5, 0.9])
+    med = exact_median(_events(sf_dir), "value")
+    return pd.DataFrame(
+        {
+            "stat": ["p10_approx", "p50_approx", "p90_approx", "p50_exact"],
+            "value": [round(q, 4) for q in qs] + [round(med, 4)],
+        }
+    )
+
+
+def q40_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct estimate vs the exact count (rows-only)."""
+    from stocksight_ray.pipelines.aggs import approx_count_distinct
+
+    est = approx_count_distinct(_events(sf_dir), "user_id", p=12)
+    return pd.DataFrame([{"stat": "hll_user_id", "estimate": round(est, 1)}])
+
+
+def q41_pack_sequences(sf_dir: str):
+    """LLM-training sequence packing manifest over documents (rows-only,
+    deterministic under any partitioning)."""
+    from stocksight_ray.pipelines.packing import pack_sequences
+
+    out = pack_sequences(_docs(sf_dir), max_len=256).to_pandas()
+    out["doc_ids"] = out["doc_ids"].map(lambda x: ",".join(str(int(i)) for i in x))
+    return out.sort_values("example_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -793,6 +826,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_hash_join": q36_hash_join,
         "q37_bm25_modes": q37_bm25_modes,
         "q38_uniq_users_daily": q38_uniq_users_daily,
+        "q39_quantile_sketch": q39_quantile_sketch,
+        "q40_hll_distinct": q40_hll_distinct,
+        "q41_pack_sequences": q41_pack_sequences,
     }
 
 

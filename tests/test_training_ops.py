@@ -497,3 +497,31 @@ def test_ivf_disk_layout(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_pack_sequences(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.packing import pack_sequences
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, max_len=128).to_pandas()
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    total_tokens = int(pdf["text"].str.split().str.len().sum())
+    # token conservation: every token lands in exactly one example
+    assert int(out["n_tokens"].sum()) == total_tokens
+    assert (out["n_tokens"] + out["n_pad"] == 128).all()
+    assert (out["n_tokens"] > 0).all()
+    # every doc appears in >= 1 example
+    covered = set()
+    for ids in out["doc_ids"]:
+        covered.update(int(i) for i in ids)
+    assert covered == set(pdf["doc_id"])
+    # determinism under repartitioning
+    out2 = pack_sequences(docs.repartition(7), max_len=128).to_pandas()
+    a = out.sort_values("example_id").reset_index(drop=True)
+    b = out2.sort_values("example_id").reset_index(drop=True)
+    assert list(a["n_tokens"]) == list(b["n_tokens"])
+    assert [list(x) for x in a["doc_ids"]] == [list(x) for x in b["doc_ids"]]
+    # packing efficiency: mean pad should be far below max_len
+    assert out["n_pad"].mean() < 64

@@ -786,6 +786,50 @@ def q41_pack_sequences(sf_dir: str):
     return out.sort_values("example_id").reset_index(drop=True)
 
 
+def q42_avg_events_per_user(sf_dir: str):
+    """Nested aggregation: mean over per-user event counts (pre-reduced
+    count, then a single global mean)."""
+    from ray.data.aggregate import Mean, Sum
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["user_id"]), "user_id").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "partial"])
+
+    per_user = (
+        _events(sf_dir)
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("partial", alias_name="c"))
+    )
+    row = per_user.aggregate(Mean("c", alias_name="avg_events"))
+    return pd.DataFrame([{"avg_events": round(float(row["avg_events"]), 6)}])
+
+
+def q43_top_users_by_value(sf_dir: str):
+    """Top-5 users by summed value (sum-ordered top-k with deterministic
+    ties; float sum rounded on both sides)."""
+    from ray.data.aggregate import Sum
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            batch.select(["user_id", "value"]), "user_id"
+        ).aggregate([("value", "sum")])
+        return g.rename_columns(["user_id", "partial"])
+
+    agg = (
+        _events(sf_dir)
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("partial", alias_name="total_value"))
+        .sort(["total_value", "user_id"], descending=[True, False])
+        .limit(5)
+        .to_pandas()
+    )
+    return _round_cols(agg, {"total_value": 4})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -829,6 +873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_quantile_sketch": q39_quantile_sketch,
         "q40_hll_distinct": q40_hll_distinct,
         "q41_pack_sequences": q41_pack_sequences,
+        "q42_avg_events_per_user": q42_avg_events_per_user,
+        "q43_top_users_by_value": q43_top_users_by_value,
     }
 
 
@@ -965,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
         "q38_uniq_users_daily": (
             "SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket, "
             "count(DISTINCT user_id) AS uniq_users FROM events GROUP BY bucket"
+        ),
+        "q42_avg_events_per_user": (
+            "SELECT round(avg(c), 6) AS avg_events FROM ("
+            "SELECT count(*) AS c FROM events GROUP BY user_id)"
+        ),
+        "q43_top_users_by_value": (
+            "SELECT user_id, round(sum(value), 4) AS total_value FROM events "
+            "GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 5"
         ),
         "q17_events_ohlc": (
             "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)"

@@ -282,3 +282,43 @@ def test_ingest_without_lang_column(ray_session, webtext_table):
     assert out.count() > 0
     with pytest.raises(ValueError):
         ingest_webtext(rd.from_arrow(no_lang), langs=("en",)).count()
+
+
+def test_fused_dedup_ids_property(ray_session):
+    """Property test: random duplicate-heavy (url, ts) corpora — the fused
+    single-sort path must match the two-shuffle path at any partitioning,
+    including adjacent duplicates straddling block boundaries."""
+    from datetime import datetime, timedelta
+
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import (
+        assign_doc_ids, dedup_and_assign_ids, dedup_newest_wins,
+    )
+
+    rng = np.random.RandomState(99)
+    for trial in range(3):
+        n_urls = rng.randint(20, 60)
+        rows = []
+        for i in range(rng.randint(100, 250)):
+            u = f"https://s.example/{rng.randint(0, n_urls)}"
+            ts = datetime(2021, 1, 1) + timedelta(seconds=int(rng.randint(0, 10**6)))
+            rows.append((u, ts, f"text {i}"))
+        t = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        for nb in (1, 5, 13):
+            ds = rd.from_arrow(t).repartition(nb)
+            old = (
+                assign_doc_ids(dedup_newest_wins(ds), "url")
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            new = (
+                dedup_and_assign_ids(ds, "url", "warc_ts")
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            assert list(old["doc_id"]) == list(new["doc_id"]), (trial, nb)
+            assert list(old["url"]) == list(new["url"]), (trial, nb)
+            assert list(old["text"]) == list(new["text"]), (trial, nb)

@@ -183,3 +183,19 @@ def test_stale_shard_detected_on_renumbering(ray_session, tmp_path):
     build_resumable(rd.from_arrow(mk(shifted)), fresh, text_col="text",
                     num_partitions=4, salt_range=128, shard_docs=128, batch_size=64)
     assert _results(out) == _results(fresh)
+
+
+def test_sub_salt_sharding(ray_session, docs_ds, tmp_path):
+    """shard_docs smaller than salt_range (a salt bucket split across
+    shards): runs still concatenate in docid order and results match the
+    single-pass build."""
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.segments import build_resumable
+
+    single = str(tmp_path / "subsalt_single")
+    sharded = str(tmp_path / "subsalt_sharded")
+    build_index(docs_ds, single, text_col="text_clean",
+                num_partitions=4, salt_range=512, batch_size=128)
+    build_resumable(docs_ds, sharded, text_col="text_clean",
+                    num_partitions=4, salt_range=512, shard_docs=128, batch_size=128)
+    assert _results(single) == _results(sharded)

@@ -75,29 +75,49 @@ def asof_join(
     both = lpad.union(rpad)
 
     out_cols = [c for c in left_cols if c != left_ts] + [right_value]
+    # The null-padded union coerces int64 left columns to float64 once the
+    # group hits pandas; rebuild every group result as Arrow with the left
+    # side's ORIGINAL types so output dtypes match the input schema exactly.
+    out_types = {c: left_types.get(c, pa.float64()) for c in out_cols}
+    out_types[right_value] = pa.float64()
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    def merge(group: pd.DataFrame) -> pa.Table:
         l = group[group["_side"] == 0].sort_values("_ts", kind="stable")
         r = group[group["_side"] == 1].sort_values("_ts", kind="stable")
-        if l.empty:
-            return pd.DataFrame({c: [] for c in out_cols})
-        if r.empty:
+        if l.empty or (r.empty and inner):
+            j = pd.DataFrame({c: [] for c in out_cols})
+        elif r.empty:
+            j = l[out_cols]
+        else:
+            j = pd.merge_asof(
+                l.drop(columns=[right_value]),
+                r[["_ts", right_value]],
+                on="_ts",
+                direction="backward",
+                allow_exact_matches=True,
+            )
             if inner:
-                return pd.DataFrame({c: [] for c in out_cols})
-            l = l.copy()
-            return l[out_cols]
-        j = pd.merge_asof(
-            l.drop(columns=[right_value]),
-            r[["_ts", right_value]],
-            on="_ts",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        if inner:
-            j = j[j[right_value].notna()]
-        return j[out_cols]
+                j = j[j[right_value].notna()]
+        return _cast_frame(j, out_cols, out_types)
 
     return both.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def _cast_frame(df: pd.DataFrame, cols: Sequence[str], types: dict) -> pa.Table:
+    """pandas frame -> Arrow table with explicit per-column types.
+
+    float64 columns holding integral values (the pandas null-coercion
+    artifact) cast back to their original integer type; NaN becomes null.
+    """
+    arrays = {}
+    for c in cols:
+        s = df[c]
+        t = types[c]
+        if pa.types.is_integer(t) and getattr(s.dtype, "kind", "") == "f":
+            arrays[c] = pa.Array.from_pandas(s.astype("Int64")).cast(t)
+        else:
+            arrays[c] = pa.Array.from_pandas(s, type=t)
+    return pa.table(arrays)
 
 
 def hash_join(
@@ -178,16 +198,22 @@ def hash_join(
         .map_batches(bucketize, batch_format="pyarrow")
     )
     out_cols = [on] + lcols + rcols
+    # Same dtype-restore as asof_join: the padded union nulls coerce int
+    # columns to float64 in pandas; cast each group back to source types.
+    out_types = {on: lschema.types[lschema.names.index(on)]}
+    out_types.update(ltypes)
+    out_types.update(rtypes)
 
     # groups are key BUCKETS (many keys per task → vectorized merge), not
     # individual keys — per-key groups would drown in task overhead
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    def merge(group: pd.DataFrame) -> pa.Table:
         l = group[group["_side"] == 0][[on] + lcols]
         r = group[group["_side"] == 1][[on] + rcols]
         if l.empty or (r.empty and how == "inner"):
-            return pd.DataFrame({c: [] for c in out_cols})
-        j = l.merge(r, on=on, how="left" if how == "left" else "inner")
-        return j[out_cols]
+            j = pd.DataFrame({c: [] for c in out_cols})
+        else:
+            j = l.merge(r, on=on, how="left" if how == "left" else "inner")
+        return _cast_frame(j, out_cols, out_types)
 
     return both.groupby("_b").map_groups(merge, batch_format="pandas")
 

@@ -6,18 +6,22 @@ standard web-corpus dedup families, each expressed shuffle-first (no driver
 state, no all-pairs comparison):
 
   exact_dedup          hash-partition on content key → per-group first-wins
-  minhash_lsh_dedup    shingle → minhash sig → band buckets → groupby(bucket)
-                       → verified Jaccard inside bucket → union-find locally,
-                       global keeper = min doc over connected candidates
+  minhash_lsh_dedup    shingle → minhash sig → band buckets → candidate
+                       pairs → co-partitioned digest join → exact Jaccard,
+                       global keeper = min id over verified neighbors
   simhash_dedup        64-bit simhash → band buckets (Hamming ≤ k) → verify
   ngram_jaccard_pairs  bucketed candidate generation + exact n-gram Jaccard
   embedding_dedup      cosine near-dup over an embedding column, LSH-bucketed
 
 Scale notes: every family is (local vectorized kernel) → groupby(bucket) →
-(small per-bucket verify).  Bucket keys are chosen so bucket sizes stay
-bounded under Zipfian text skew (minhash bands on SALT_BANDS of the
-signature; embedding buckets from random-hyperplane signs).  Nothing
-materializes the corpus driver-side.
+(candidate pairs) → verify.  The minhash/ngram/embedding families are
+TWO-PASS: band-shuffle rows are bare (band_key, id) 16 B pairs, and the
+verification payload (shingle digest / embedding vector) lives in a
+single-copy table joined back per candidate pair — shuffle volume is
+2 × payload table instead of bands ×.  Bucket keys are chosen so bucket
+sizes stay bounded under Zipfian text skew; oversized buckets PAIR_CAP
+with a logged truncation.  Nothing materializes the corpus driver-side
+(minhash_keep_ids broadcasts only the O(duplicates) drop set).
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -128,6 +133,228 @@ def jaccard(a: set, b: set) -> float:
     return inter / union if union else 0.0
 
 
+# ---------------------------------------------------------------------------
+# shared pair machinery: bucketed candidate generation + two-pass verification
+# ---------------------------------------------------------------------------
+#
+# All LSH families below share one shape:
+#
+#   1. per-doc kernel emits (id, payload, band_keys:list) ONCE (payload =
+#      shingle digest / simhash / embedding vector), materialized so the
+#      expensive hashing runs a single time;
+#   2. band_keys explode to bare (band_key, id) 16 B rows -> ONE bucketed
+#      groupby -> vectorized in-bucket self-merge yields distinct candidate
+#      pairs (a < b), PAIR_CAP'd per band key with a logged truncation;
+#   3. ONE bucketed groupby co-partitions pair endpoints with the
+#      single-copy payload table (union trick — payload is shuffled once,
+#      not once per band);
+#   4. ONE bucketed groupby re-unites the two endpoints of each pair and
+#      runs the exact verify kernel in place.
+#
+# Every groupby is on a fixed bucket count (NUM_BUCKETS) so map_groups costs
+# O(buckets) Python calls with vectorized pandas inside — never one call per
+# key.  Scale NUM_BUCKETS with corpus size so a bucket (~corpus payload /
+# buckets) fits a task's heap; skewed band keys are PAIR_CAP'd.
+
+NUM_BUCKETS = 256
+PAIR_CAP = 10_000
+# full enumeration of a band key's pairs stays under PAIR_CAP when the key
+# has at most _CAP_IDS docs; oversized keys keep their _CAP_IDS smallest ids
+_CAP_IDS = 141
+
+
+def _candidate_pairs(band_ds, id_col: str, op_name: str,
+                     num_buckets: int = NUM_BUCKETS):
+    """(band_key, id) rows -> distinct-within-bucket candidate pairs (a < b).
+
+    Pairs whose band keys landed in different buckets can still duplicate
+    across buckets; the verify stage collapses those (drop_duplicates on the
+    pair key) so each pair is verified once."""
+    import logging
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        kb = pc.cast(
+            pc.bit_wise_and(batch["band_key"], num_buckets - 1), pa.int32()
+        )
+        return batch.append_column("_kb", kb)
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        g = g[["band_key", id_col]].drop_duplicates()
+        g = g.sort_values(["band_key", id_col], kind="stable")
+        rank = g.groupby("band_key").cumcount()
+        over = g.loc[rank >= _CAP_IDS, "band_key"]
+        if len(over):
+            logging.getLogger(__name__).warning(
+                "%s: %d band keys exceed %d docs — pairs beyond the %d "
+                "smallest ids per key dropped (salt band keys or raise cap)",
+                op_name, over.nunique(), _CAP_IDS, _CAP_IDS,
+            )
+            g = g[rank < _CAP_IDS]
+        m = g.merge(g, on="band_key")
+        a = m[f"{id_col}_x"].to_numpy(np.int64)
+        b = m[f"{id_col}_y"].to_numpy(np.int64)
+        keep = a < b
+        p = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+        return pa.table({
+            "a": pa.array(p["a"].to_numpy(np.int64)),
+            "b": pa.array(p["b"].to_numpy(np.int64)),
+        })
+
+    return (
+        band_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+def _explode_band_keys(id_col: str):
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lists = batch["band_keys"].to_pylist()
+        return pa.table({
+            "band_key": pa.array([k for ks in lists for k in ks], pa.int64()),
+            id_col: pa.array(
+                np.repeat(ids, [len(ks) for ks in lists]).astype(np.int64)
+            ),
+        })
+    return explode
+
+
+def _verify_pairs(pairs, attrs, id_col: str, attr_col: str, verify_group,
+                  num_buckets: int = NUM_BUCKETS):
+    """Re-unite each candidate pair with BOTH endpoints' payload and run
+    ``verify_group`` on the result — in two bucketed shuffles total, with
+    the payload table shipped exactly once.
+
+    pairs:  Dataset (a:int64, b:int64), possibly with cross-bucket dups.
+    attrs:  Dataset (id_col, attr_col) — the single-copy payload table.
+    verify_group(pdf) -> pa.Table over columns (a, b, attr_a, attr_b);
+      MUST return a schema-stable Arrow table (same types when empty).
+
+    Shuffle 1 (groupby endpoint-id bucket): pair rows split into two
+      endpoint rows (k=a / k=b) and co-partition with payload rows (k=id);
+      a vectorized merge attaches the payload to each endpoint.
+    Shuffle 2 (groupby pair bucket): the two endpoint rows of a pair meet
+      again; duplicate pairs collapse; verify_group runs vectorized.
+    """
+    attr_schema = attrs.schema()
+    attr_type = attr_schema.types[attr_schema.names.index(attr_col)]
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table({
+            "k": pa.array(np.concatenate([a, b])),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+            "attr": pa.nulls(2 * n, attr_type),
+            "_tag": pa.array(np.zeros(2 * n, dtype=np.int8)),
+        })
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        zeros = pa.array(np.zeros(n, dtype=np.int64))
+        # a/b carry 0 sentinels (not nulls): a nulled int64 column would
+        # round-trip through pandas as float64 and corrupt large ids
+        return pa.table({
+            "k": batch[id_col].cast(pa.int64()),
+            "a": zeros,
+            "b": zeros,
+            "attr": batch[attr_col].cast(attr_type),
+            "_tag": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        kb = pc.cast(pc.bit_wise_and(batch["k"], num_buckets - 1), pa.int32())
+        return batch.append_column("_kb", kb)
+
+    def attach(g: pd.DataFrame) -> pa.Table:
+        e = g[g["_tag"] == 0]
+        d = g[g["_tag"] == 1].drop_duplicates("k")
+        if e.empty or d.empty:
+            return pa.table({
+                "a": pa.nulls(0, pa.int64()),
+                "b": pa.nulls(0, pa.int64()),
+                "side": pa.nulls(0, pa.int8()),
+                "attr": pa.nulls(0, attr_type),
+                "_pb": pa.nulls(0, pa.int32()),
+            })
+        j = e[["k", "a", "b"]].merge(d[["k", "attr"]], on="k")
+        a = j["a"].to_numpy(np.int64)
+        b = j["b"].to_numpy(np.int64)
+        k = j["k"].to_numpy(np.int64)
+        side = (k != a).astype(np.int8)  # 0 = payload of a, 1 = of b
+        pb = ((a * 1_000_003 + b) & (num_buckets - 1)).astype(np.int32)
+        return pa.table({
+            "a": pa.array(a),
+            "b": pa.array(b),
+            "side": pa.array(side),
+            "attr": pa.Array.from_pandas(j["attr"], type=attr_type),
+            "_pb": pa.array(pb),
+        })
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["a", "b", "side"])
+        s0 = g[g["side"] == 0][["a", "b", "attr"]].rename(
+            columns={"attr": "attr_a"}
+        )
+        s1 = g[g["side"] == 1][["a", "b", "attr"]].rename(
+            columns={"attr": "attr_b"}
+        )
+        return verify_group(s0.merge(s1, on=["a", "b"]))
+
+    unioned = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .union(attrs.map_batches(payload_rows, batch_format="pyarrow"))
+        .map_batches(bucketize, batch_format="pyarrow")
+    )
+    return (
+        unioned.groupby("_kb")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _min_id_decisions(edges, id_col: str, num_buckets: int = NUM_BUCKETS):
+    """(doc, neighbor) verified-duplicate edges -> (id_col, keep) decisions:
+    a doc is dropped if any verified neighbor has a smaller id (min-id-wins
+    canonical keeper; transitive chains collapse to the smallest id over
+    repeated application — one pass matches the standard one-shot LSH dedup
+    used in web-corpus pipelines)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        db = pc.cast(pc.bit_wise_and(batch["doc"], num_buckets - 1), pa.int32())
+        return batch.append_column("_db", db)
+
+    def decide(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("doc")["neighbor"].min()
+        return pa.table({
+            id_col: pa.array(m.index.to_numpy(np.int64)),
+            "keep": pa.array(m.to_numpy(np.int64) >= m.index.to_numpy(np.int64)),
+        })
+
+    return (
+        edges.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(decide, batch_format="pandas")
+    )
+
+
+def _jaccard_from_digests(da, db) -> np.ndarray:
+    """Exact Jaccard per pair over sorted uint64 shingle-hash digests
+    (equals Jaccard over shingles up to negligible collision mass)."""
+    out = np.empty(len(da), dtype=np.float64)
+    for i in range(len(da)):
+        x = np.frombuffer(da[i], dtype=np.uint64)
+        y = np.frombuffer(db[i], dtype=np.uint64)
+        inter = np.intersect1d(x, y, assume_unique=True).size
+        union = x.size + y.size - inter
+        out[i] = inter / union if union else 0.0
+    return out
+
+
 def minhash_lsh_dedup(
     ds,
     text_col: str = "text",
@@ -138,104 +365,94 @@ def minhash_lsh_dedup(
     ngram: int = 3,
     threshold: float = 0.8,
 ):
-    """MinHash+LSH near-dedup → Dataset of (id_col, keep:bool).
+    """MinHash+LSH near-dedup -> Dataset of (id_col, keep:bool).
 
-    Stage 1 (map_batches, stateless): signature per doc, emit one row per
-      band: (band_key = hash(band_idx, sig[band]), doc_id).
-    Stage 2 (groupby band_key): buckets with >1 doc become candidate pairs;
-      emit (min_id_in_pair, other_id) edges verified by exact shingle
-      Jaccard ≥ threshold.
-    Stage 3 (groupby doc): a doc is dropped if any verified neighbor has a
-      smaller id (min-id-wins canonical keeper; transitive chains collapse to
-      the smallest id over repeated application — one pass matches the
-      standard one-shot LSH dedup used in web-corpus pipelines).
+    Two-pass layout per the module header: band-shuffle rows are bare
+    (band_key, doc_id); the sorted shingle-hash digest is emitted once,
+    materialized (same spill-vs-recompute trade as the index build's
+    tokenize pass; digest rows are ~8 B x shingles, a small fraction of text
+    volume, and blocks spill to the object store at scale), and joined back
+    per candidate pair for the exact-Jaccard verify.
 
-    Shuffle volume: bands × N rows of (int64, int64, shingle-digest) — the
-    digest is the doc's sorted 8-byte shingle hashes, NOT the text, so row
-    width is ~8B × shingle count (bounded, and what exact-Jaccard needs
-    anyway: Jaccard over 64-bit shingle hashes equals Jaccard over shingles
-    up to negligible collision mass).  Bucket skew: identical boilerplate
-    docs land in one bucket; the per-bucket verify is O(bucket²)
-    pair-capped (PAIR_CAP) with deterministic truncation reported via
-    logging.warning.
-    """
-    import logging
-
+    Shuffle volume: bands x N x 16 B candidate rows + 1 x digest table —
+    versus bands x digest table when the digest rode every band row."""
     rows_per_band = num_perm // bands
     params = _perm_params(num_perm)
-    PAIR_CAP = 10_000
 
-    def band_rows(batch: pa.Table) -> pa.Table:
+    def digest_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        out_key, out_id, out_dig = [], [], []
-        for i, t in enumerate(texts):
+        digs, keys = [], []
+        for t in texts:
             sig = minhash_signature(t, num_perm, ngram, params)
-            digest = np.sort(_shingle_hashes(t, ngram)).tobytes()
-            for bi in range(bands):
-                band = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                key = zlib.crc32(struct.pack("i", bi) + band.tobytes())
-                out_key.append((bi << 32) | key)
-                out_id.append(int(ids[i]))
-                out_dig.append(digest)
-        return pa.table(
-            {
-                "band_key": pa.array(out_key, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-                "digest": pa.array(out_dig, pa.binary()),
-            }
-        )
+            digs.append(np.sort(_shingle_hashes(t, ngram)).tobytes())
+            keys.append([
+                (bi << 32) | zlib.crc32(
+                    struct.pack("i", bi)
+                    + sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes()
+                )
+                for bi in range(bands)
+            ])
+        return pa.table({
+            id_col: pa.array([int(i) for i in ids], pa.int64()),
+            "digest": pa.array(digs, pa.binary()),
+            "band_keys": pa.array(keys, pa.list_(pa.int64())),
+        })
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc": [], "neighbor": []})
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sh = [np.frombuffer(d, dtype=np.uint64) for d in g["digest"]]
-        doc, neigh = [], []
-        pairs = 0
-        truncated = False
-        for i in range(len(ids)):
-            if truncated:
-                break
-            for j in range(i + 1, len(ids)):
-                if pairs >= PAIR_CAP:
-                    truncated = True
-                    break
-                pairs += 1
-                inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
-                union = sh[i].size + sh[j].size - inter
-                if union and inter / union >= threshold:
-                    doc.append(int(ids[j]))
-                    neigh.append(int(ids[i]))
-        if truncated:
-            logging.getLogger(__name__).warning(
-                "minhash_lsh_dedup: bucket with %d docs hit PAIR_CAP=%d — "
-                "%d candidate pairs not verified (salt band keys or raise cap)",
-                len(ids), PAIR_CAP, len(ids) * (len(ids) - 1) // 2 - pairs,
-            )
-        return pd.DataFrame({"doc": doc, "neighbor": neigh})
-
-    def decide(g: pd.DataFrame) -> pd.DataFrame:
-        d = int(g["doc"].iloc[0])
-        return pd.DataFrame({id_col: [d], "keep": [bool((g["neighbor"] >= d).all())]})
-
-    edges = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify_bucket, batch_format="pandas")
+    sigs = ds.map_batches(digest_rows, batch_format="pyarrow").materialize()
+    cands = _candidate_pairs(
+        sigs.select_columns([id_col, "band_keys"]).map_batches(
+            _explode_band_keys(id_col), batch_format="pyarrow"
+        ),
+        id_col,
+        "minhash_lsh_dedup",
     )
-    dropped = edges.groupby("doc").map_groups(decide, batch_format="pandas")
-    return dropped
+
+    def verify(p: pd.DataFrame) -> pa.Table:
+        doc = np.array([], dtype=np.int64)
+        neigh = np.array([], dtype=np.int64)
+        if len(p):
+            jacc = _jaccard_from_digests(
+                p["attr_a"].tolist(), p["attr_b"].tolist()
+            )
+            hit = jacc >= threshold
+            doc = p["b"].to_numpy(np.int64)[hit]
+            neigh = p["a"].to_numpy(np.int64)[hit]
+        return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
+
+    edges = _verify_pairs(
+        cands, sigs.select_columns([id_col, "digest"]), id_col, "digest", verify
+    )
+    return _min_id_decisions(edges, id_col)
 
 
-def minhash_keep_ids(ds, text_col="text", id_col="doc_id", **kw) -> pa.Table:
-    """Convenience: full keeper id list = all ids minus dropped ones."""
+def minhash_keep_ids(ds, text_col="text", id_col="doc_id", **kw):
+    """Keeper ids = all ids minus dropped ones, as a streaming Dataset.
+
+    Distributed anti-join: only the DROPPED id set (O(duplicates), small)
+    is collected and broadcast via ray.put; the corpus id column is
+    filtered inside map_batches and never materializes on the driver."""
+    import ray
+
     decisions = minhash_lsh_dedup(ds, text_col, id_col, **kw).to_pandas()
-    drop = set(decisions.loc[~decisions["keep"], id_col].astype(int))
-    ids = ds.select_columns([id_col]).to_pandas()[id_col].astype(int)
-    keep = sorted(set(ids) - drop)
-    return pa.table({id_col: pa.array(keep, pa.int64())})
+    if len(decisions):
+        drop = np.sort(
+            decisions.loc[~decisions["keep"], id_col].to_numpy(np.int64)
+        )
+    else:
+        drop = np.array([], dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, dropped)))
+
+    return (
+        ds.select_columns([id_col])
+        .map_batches(filt, batch_format="pyarrow")
+        .sort(id_col)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +461,7 @@ def minhash_keep_ids(ds, text_col="text", id_col="doc_id", **kw) -> pa.Table:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (Charikar 2002): sum ±1 per bit
-    weighted by term frequency; sign → bit."""
+    weighted by term frequency; sign -> bit."""
     acc = np.zeros(64, dtype=np.int64)
     words = (text or "").lower().split()
     if not words:
@@ -262,53 +479,65 @@ def simhash64(text: str) -> int:
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   *, max_hamming: int = 3, bands: int = 4):
-    """SimHash near-dedup: docs whose 64-bit simhash differs in ≤ max_hamming
+    """SimHash near-dedup: docs whose 64-bit simhash differs in <= max_hamming
     bits are duplicates.  Candidate generation: split the hash into ``bands``
-    16-bit bands — any pair within Hamming ≤ bands-1 shares ≥1 exact band
-    (pigeonhole) → groupby(band value) → verify Hamming in-bucket.
+    16-bit bands — any pair within Hamming <= bands-1 shares >=1 exact band
+    (pigeonhole) -> bucketed pair generation -> exact Hamming verify against
+    the single-copy simhash table (same two-pass layout as minhash).
     Returns (id_col, keep) decisions for dropped candidates like minhash."""
 
-    def band_rows(batch: pa.Table) -> pa.Table:
+    def hash_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        key, did, hsh = [], [], []
-        for i, t in enumerate(texts):
+        hs, keys = [], []
+        width = 64 // bands
+        for t in texts:
             h = simhash64(t)
-            for bi in range(bands):
-                band_val = (h >> (bi * 64 // bands)) & ((1 << (64 // bands)) - 1)
-                key.append((bi << 48) | band_val)
-                did.append(int(ids[i]))
-                hsh.append(h - (1 << 63))  # store as int64
+            hs.append(struct.pack("<Q", h))  # 8-byte payload (binary: the
+            # union's nulls would coerce an int64 attr to float64, losing
+            # bits near 2**63)
+            keys.append([
+                (bi << 48) | ((h >> (bi * width)) & ((1 << width) - 1))
+                for bi in range(bands)
+            ])
         return pa.table({
-            "band_key": pa.array(key, pa.int64()),
-            id_col: pa.array(did, pa.int64()),
-            "simhash": pa.array(hsh, pa.int64()),
+            id_col: pa.array([int(i) for i in ids], pa.int64()),
+            "simhash": pa.array(hs, pa.binary()),
+            "band_keys": pa.array(keys, pa.list_(pa.int64())),
         })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc": [], "neighbor": []})
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = (g["simhash"].to_numpy().astype(np.int64).view(np.uint64)) + np.uint64(1 << 63)
-        doc, neigh = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
-                    doc.append(int(ids[j]))
-                    neigh.append(int(ids[i]))
-        return pd.DataFrame({"doc": doc, "neighbor": neigh})
-
-    def decide(g: pd.DataFrame) -> pd.DataFrame:
-        d = int(g["doc"].iloc[0])
-        return pd.DataFrame({id_col: [d], "keep": [bool((g["neighbor"] >= d).all())]})
-
-    edges = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
+    sigs = ds.map_batches(hash_rows, batch_format="pyarrow").materialize()
+    cands = _candidate_pairs(
+        sigs.select_columns([id_col, "band_keys"]).map_batches(
+            _explode_band_keys(id_col), batch_format="pyarrow"
+        ),
+        id_col,
+        "simhash_dedup",
     )
-    return edges.groupby("doc").map_groups(decide, batch_format="pandas")
+
+    def verify(p: pd.DataFrame) -> pa.Table:
+        doc = np.array([], dtype=np.int64)
+        neigh = np.array([], dtype=np.int64)
+        if len(p):
+            ha = np.frombuffer(b"".join(p["attr_a"].tolist()), dtype=np.uint64)
+            hb = np.frombuffer(b"".join(p["attr_b"].tolist()), dtype=np.uint64)
+            x = ha ^ hb
+            # vectorized 64-bit popcount via the classic SWAR reduction
+            x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+            x = (x & np.uint64(0x3333333333333333)) + (
+                (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+            )
+            x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            ham = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+            hit = ham <= max_hamming
+            doc = p["b"].to_numpy(np.int64)[hit]
+            neigh = p["a"].to_numpy(np.int64)[hit]
+        return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
+
+    edges = _verify_pairs(
+        cands, sigs.select_columns([id_col, "simhash"]), id_col, "simhash", verify
+    )
+    return _min_id_decisions(edges, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -318,59 +547,61 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         *, ngram: int = 3, threshold: float = 0.5,
                         num_perm: int = 64, bands: int = 32):
-    """All (near-)similar pairs with exact word-n-gram Jaccard ≥ threshold.
-    Candidates via aggressive LSH (many bands → high recall at lower
-    thresholds), verified exactly; output (a, b, jaccard) with a < b,
-    deduped across buckets via groupby on the pair key."""
+    """All (near-)similar pairs with exact word-n-gram Jaccard >= threshold.
+    Candidates via aggressive LSH (many bands -> high recall at lower
+    thresholds); output (a, b, jacc) with a < b, each pair verified once
+    (the verify stage collapses cross-bucket duplicates).  Same two-pass
+    digest-join layout as minhash_lsh_dedup."""
     rows_per_band = max(1, num_perm // bands)
     params = _perm_params(num_perm)
 
-    def band_rows(batch: pa.Table) -> pa.Table:
+    def digest_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        key, did, dig = [], [], []
-        for i, t in enumerate(texts):
+        digs, keys = [], []
+        for t in texts:
             sig = minhash_signature(t, num_perm, ngram, params)
-            digest = np.sort(_shingle_hashes(t, ngram)).tobytes()
-            for bi in range(bands):
-                band = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                key.append((bi << 32) | zlib.crc32(band.tobytes()))
-                did.append(int(ids[i]))
-                dig.append(digest)
-        # shuffle rows are (key, id, shingle-digest) — no document text
+            digs.append(np.sort(_shingle_hashes(t, ngram)).tobytes())
+            keys.append([
+                (bi << 32) | zlib.crc32(
+                    sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes()
+                )
+                for bi in range(bands)
+            ])
         return pa.table({
-            "band_key": pa.array(key, pa.int64()),
-            id_col: pa.array(did, pa.int64()),
-            "digest": pa.array(dig, pa.binary()),
+            id_col: pa.array([int(i) for i in ids], pa.int64()),
+            "digest": pa.array(digs, pa.binary()),
+            "band_keys": pa.array(keys, pa.list_(pa.int64())),
         })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jacc": []})
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sh = [np.frombuffer(d, dtype=np.uint64) for d in g["digest"]]
-        a, b, jc = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
-                union = sh[i].size + sh[j].size - inter
-                v = inter / union if union else 0.0
-                if v >= threshold:
-                    a.append(int(ids[i])); b.append(int(ids[j])); jc.append(v)
-        return pd.DataFrame({"a": a, "b": b, "jacc": jc})
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["a", "b", "jacc"]]
-
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
+    sigs = ds.map_batches(digest_rows, batch_format="pyarrow").materialize()
+    cands = _candidate_pairs(
+        sigs.select_columns([id_col, "band_keys"]).map_batches(
+            _explode_band_keys(id_col), batch_format="pyarrow"
+        ),
+        id_col,
+        "ngram_jaccard_pairs",
     )
-    # cross-bucket pair dedup on BOTH id columns (a composite a*C+b key
-    # would collide once ids exceed C)
-    return pairs.groupby(["a", "b"]).map_groups(dedup_pair, batch_format="pandas")
+
+    def verify(p: pd.DataFrame) -> pa.Table:
+        a = np.array([], dtype=np.int64)
+        b = np.array([], dtype=np.int64)
+        jc = np.array([], dtype=np.float64)
+        if len(p):
+            jacc = _jaccard_from_digests(
+                p["attr_a"].tolist(), p["attr_b"].tolist()
+            )
+            hit = jacc >= threshold
+            a = p["a"].to_numpy(np.int64)[hit]
+            b = p["b"].to_numpy(np.int64)[hit]
+            jc = jacc[hit]
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(b), "jacc": pa.array(jc),
+        })
+
+    return _verify_pairs(
+        cands, sigs.select_columns([id_col, "digest"]), id_col, "digest", verify
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -384,13 +615,12 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     (sign bits, Charikar) generates candidate buckets; exact cosine verifies.
     Returns (id_col, keep) decisions for candidate docs (min-id keeper).
 
-    ``bands`` bands of num_planes/bands sign bits each; a pair at cosine ≥
-    threshold collides in ≥1 band with high probability.
+    ``bands`` bands of num_planes/bands sign bits each; a pair at cosine >=
+    threshold collides in >=1 band with high probability.
 
-    Shuffle rows carry the vector itself (needed for the exact cosine
-    verify) ``bands`` times — at scale, quantize (e.g. int8) or ship
-    (band_key, id) and verify in a second co-partitioned pass against the
-    stored embedding table."""
+    Two-pass: band rows are bare (band_key, id) — the float vector does NOT
+    ride the band shuffle; verification joins the stored embedding table,
+    shipped once, not ``bands`` times."""
     bits_per_band = num_planes // bands
 
     class BandRows:
@@ -405,43 +635,43 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                 self.planes = rng.standard_normal((vecs.shape[1], num_planes))
             signs = (vecs @ self.planes) > 0  # (n, planes)
             weights = 1 << np.arange(bits_per_band)
-            key_col, id_col_out, vec_out = [], [], []
+            key_col, id_out = [], []
             for bi in range(bands):
                 band_bits = signs[:, bi * bits_per_band : (bi + 1) * bits_per_band]
                 band_val = band_bits @ weights
                 for r in range(len(ids)):
                     key_col.append((bi << 32) | int(band_val[r]))
-                    id_col_out.append(int(ids[r]))
-                    vec_out.append(vecs[r].tolist())
+                    id_out.append(int(ids[r]))
             return pa.table({
                 "band_key": pa.array(key_col, pa.int64()),
-                id_col: pa.array(id_col_out, pa.int64()),
-                vec_col: pa.array(vec_out, pa.list_(pa.float64())),
+                id_col: pa.array(id_out, pa.int64()),
             })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc": [], "neighbor": []})
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        m = np.asarray(list(g[vec_col]), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mn = m / norms
-        sim = mn @ mn.T
-        doc, neigh = [], []
-        ii, jj = np.where(np.triu(sim >= threshold, k=1))
-        for i, j in zip(ii, jj):
-            doc.append(int(ids[j])); neigh.append(int(ids[i]))
-        return pd.DataFrame({"doc": doc, "neighbor": neigh})
-
-    def decide(g: pd.DataFrame) -> pd.DataFrame:
-        d = int(g["doc"].iloc[0])
-        return pd.DataFrame({id_col: [d], "keep": [bool((g["neighbor"] >= d).all())]})
-
-    edges = (
-        ds.map_batches(BandRows, batch_format="pyarrow", concurrency=2)
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
+    cands = _candidate_pairs(
+        ds.map_batches(BandRows, batch_format="pyarrow", concurrency=2),
+        id_col,
+        "embedding_dedup",
     )
-    return edges.groupby("doc").map_groups(decide, batch_format="pandas")
+
+    def verify(p: pd.DataFrame) -> pa.Table:
+        doc = np.array([], dtype=np.int64)
+        neigh = np.array([], dtype=np.int64)
+        if len(p):
+            va = np.asarray(p["attr_a"].tolist(), dtype=np.float64)
+            vb = np.asarray(p["attr_b"].tolist(), dtype=np.float64)
+
+            def norml(m):
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                return m / n
+
+            sim = (norml(va) * norml(vb)).sum(axis=1)
+            hit = sim >= threshold
+            doc = p["b"].to_numpy(np.int64)[hit]
+            neigh = p["a"].to_numpy(np.int64)[hit]
+        return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
+
+    edges = _verify_pairs(
+        cands, ds.select_columns([id_col, vec_col]), id_col, vec_col, verify
+    )
+    return _min_id_decisions(edges, id_col)

@@ -109,6 +109,8 @@ def _cast_frame(df: pd.DataFrame, cols: Sequence[str], types: dict) -> pa.Table:
     float64 columns holding integral values (the pandas null-coercion
     artifact) cast back to their original integer type; NaN becomes null.
     """
+    if not len(df):
+        return pa.table({c: pa.nulls(0, types[c]) for c in cols})
     arrays = {}
     for c in cols:
         s = df[c]
@@ -128,6 +130,8 @@ def hash_join(
     left_cols: Sequence[str],
     right_cols: Sequence[str],
     how: str = "inner",
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
 ):
     """Large-large equi-join: both sides co-partition on ``on`` via ONE
     ``groupby(on)`` over the padded union (no broadcast — use
@@ -143,9 +147,11 @@ def hash_join(
     lcols = [c for c in left_cols if c != on]
     rcols = [c for c in right_cols if c != on]
 
-    # types of the other side's columns are discovered from their schema
-    lschema = left.schema()
-    rschema = right.schema()
+    # types of the other side's columns are discovered from their schema;
+    # pass left_schema/right_schema explicitly when an input is a deep lazy
+    # pipeline (``.schema()`` on one may force execution just for metadata)
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     rtypes = {c: rschema.types[rschema.names.index(c)] for c in rcols}
     ltypes = {c: lschema.types[lschema.names.index(c)] for c in lcols}
 

@@ -206,7 +206,7 @@ def test_minhash_lsh_dedup(ray_session):
     from stocksight_ray.pipelines.dedup import minhash_keep_ids
 
     ds = rd.from_arrow(_dup_corpus())
-    keep = minhash_keep_ids(ds, threshold=0.6)["doc_id"].to_pylist()
+    keep = minhash_keep_ids(ds, threshold=0.6).to_pandas()["doc_id"].tolist()
     # 1, 7 (exact) and 2 (near) collapse into 0; 4 collapses into 3
     assert 0 in keep and 3 in keep
     assert 1 not in keep and 7 not in keep and 2 not in keep and 4 not in keep

@@ -127,45 +127,94 @@ def assign_doc_ids(ds, key: str = "url"):
 
 
 def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
-    """Fused A1 dedup (newest-wins) + deterministic dense doc_ids in ONE
-    shuffle: sort by (key asc, ts desc); the global first row of each key
-    group is the keeper; doc_id = rank of key among sorted distinct keys.
+    """Fused A1 dedup (newest-wins) + deterministic dense doc_ids, with the
+    sort shuffle carrying ONLY (key, ts, 16-byte row key) — never the text.
 
-    After the sort, a key group may straddle block boundaries.  Per block we
-    collect (first_key, first_ts, n_distinct, last_key); blocks arrive from
-    ``take_all`` in dataset order, so the driver walks them in sorted order:
-    a block whose first_key equals the previous block's last_key is a
-    CONTINUATION — its first group was already seen, so it contributes
-    n_distinct-1 new keys and must drop its leading group's rows.  Driver
-    state is O(#blocks).
+    Pass 1 (slim sort): project each row to (key, ts, rk=sha1(key|ts|text))
+      and sort by (key asc, ts desc, rk asc).  The global first row of each
+      key group is the keeper; doc_id = rank of key among sorted distinct
+      keys.  The rk tiebreaker makes keeper choice deterministic even for
+      equal (key, ts) pairs.
+    Pass 2 (driver, O(#blocks)): per sorted block collect (first_rk,
+      first_key, last_key, rows, distinct); blocks arrive from ``take_all``
+      in dataset order, so a block whose first_key equals the previous
+      block's last_key is a CONTINUATION — its leading group was already
+      seen, so it contributes distinct-1 new keys and drops its leading
+      group's rows.  Stamping matches blocks back by (first_rk, rows);
+      a collision on that composite (only identical rows at a block
+      boundary) falls back to the two-shuffle path.
+    Pass 3 (bucketed join): keeper (rk, doc_id) decisions — O(unique keys)
+      rows of 24 B — co-partition with the full rows on a bucket of rk and
+      stamp doc_id back; full-duplicate rows (same key, ts, text) collapse
+      to one via drop_duplicates(rk) inside the co-partitioned merge, which
+      is sound because rk covers every semantic column.
 
-    Correctness guard: stamping matches blocks back by (first_key,
-    first_ts, n_rows).  If two blocks collide on that composite (only
-    possible with exact duplicate (key, ts) pairs at a block boundary) we
-    fall back to the two-shuffle path rather than risk misassignment.
+    vs. sorting the full rows: the full text crosses the wire once either
+    way, but through a plain hash exchange instead of a range-partitioned
+    sort (no sample pass, no payload sorting, no range skew), and the sort
+    itself touches ~50 B/row.  ``ds`` is consumed twice (slim + join), so
+    it is materialized first — same object-store footprint as the old
+    full-row sorted materialization, and blocks spill at scale.
     """
-    sorted_ds = ds.sort([key, ts], descending=[False, True]).materialize()
+    import hashlib
+
+    ds = ds.materialize()  # consumed twice: slim pass + join pass
+    fschema = ds.schema()
+    out_cols = list(fschema.names) + ["doc_id"]
+    out_types = dict(zip(fschema.names, fschema.types))
+    out_types["doc_id"] = pa.int64()
+
+    def _rks(batch: pa.Table):
+        n = batch.num_rows
+        urls = batch[key].to_pylist()
+        tss = batch[ts].cast(pa.int64()).to_pylist()
+        texts = (
+            batch["text"].to_pylist()
+            if "text" in batch.column_names else [""] * n
+        )
+        rks = []
+        rkb = np.empty(n, np.int32)
+        for i in range(n):
+            d = hashlib.sha1(
+                f"{urls[i]}\0{tss[i]}\0{texts[i]}".encode()
+            ).digest()
+            rks.append(d[:16])
+            rkb[i] = int.from_bytes(d[:4], "big") % DEDUP_BUCKETS
+        return rks, rkb
+
+    def slim(batch: pa.Table) -> pa.Table:
+        rks, _ = _rks(batch)
+        return pa.table({
+            key: batch[key],
+            ts: batch[ts],
+            "rk": pa.array(rks, pa.binary()),
+        })
+
+    sorted_slim = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .sort([key, ts, "rk"], descending=[False, True, False])
+        .materialize()
+    )
 
     def block_meta(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {"first": pa.array([], pa.string()), "first_ts": pa.array([], pa.timestamp("us")),
-                 "last": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
-                 "uniq": pa.array([], pa.int64())}
-            )
+            return pa.table({
+                "first_rk": pa.nulls(0, pa.binary()),
+                "first": pa.nulls(0, pa.string()),
+                "last": pa.nulls(0, pa.string()),
+                "n": pa.nulls(0, pa.int64()),
+                "uniq": pa.nulls(0, pa.int64()),
+            })
         keys = batch[key].to_pylist()
-        uniq = len(set(keys))
-        return pa.table(
-            {
-                "first": pa.array([keys[0]], pa.string()),
-                "first_ts": pa.array([batch[ts][0].as_py()], pa.timestamp("us")),
-                "last": pa.array([keys[-1]], pa.string()),
-                "n": pa.array([batch.num_rows], pa.int64()),
-                "uniq": pa.array([uniq], pa.int64()),
-            }
-        )
+        return pa.table({
+            "first_rk": pa.array([batch["rk"][0].as_py()], pa.binary()),
+            "first": pa.array([keys[0]], pa.string()),
+            "last": pa.array([keys[-1]], pa.string()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "uniq": pa.array([len(set(keys))], pa.int64()),
+        })
 
-    metas = sorted_ds.map_batches(
+    metas = sorted_slim.map_batches(
         block_meta, batch_format="pyarrow", batch_size=None
     ).take_all()  # take_all preserves dataset (= sorted block) order
 
@@ -175,26 +224,25 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
     prev_last = None
     for m in metas:
         cont = prev_last is not None and m["first"] == prev_last
-        k = (m["first"], m["first_ts"], m["n"])
+        k = (m["first_rk"], m["n"])
         if k in offsets:
             collision = True
             break
         offsets[k] = (acc, cont)
         acc += m["uniq"] - (1 if cont else 0)
         prev_last = m["last"]
-    if collision:  # adversarial duplicate (key, ts) at a boundary
+    if collision:  # identical rows straddling a block boundary
         return assign_doc_ids(dedup_newest_wins(ds), key)
 
-    def stamp(batch: pa.Table) -> pa.Table:
+    def stamp_keepers(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column("doc_id", pa.array([], pa.int64()))
+            return pa.table({
+                "rk": pa.nulls(0, pa.binary()),
+                "doc_id": pa.nulls(0, pa.int64()),
+            })
         keys = np.asarray(batch[key].to_pylist(), dtype=object)
-        start, cont = offsets[
-            (keys[0], batch[ts][0].as_py(), batch.num_rows)
-        ]
+        start, cont = offsets[(batch["rk"][0].as_py(), batch.num_rows)]
         new_group = np.concatenate(([True], keys[1:] != keys[:-1]))
-        # keeper = first row of each block-local group, except the leading
-        # group when it continues from the previous block
         keep = new_group.copy()
         rank = np.cumsum(new_group) - 1  # 0-based group rank in block
         if cont:
@@ -203,10 +251,65 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
         else:
             ids = start + rank
         out = batch.filter(pa.array(keep))
-        out_ids = ids[keep]
-        return out.append_column("doc_id", pa.array(out_ids, pa.int64()))
+        return pa.table({
+            "rk": out["rk"],
+            "doc_id": pa.array(ids[keep], pa.int64()),
+        })
 
-    return sorted_ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+    keepers = sorted_slim.map_batches(
+        stamp_keepers, batch_format="pyarrow", batch_size=None
+    )
+
+    # --- pass 3: bucketed join of keeper (rk, doc_id) onto the full rows ---
+    def pad_full(batch: pa.Table) -> pa.Table:
+        rks, rkb = _rks(batch)
+        cols = {c: batch[c] for c in fschema.names}
+        cols["rk"] = pa.array(rks, pa.binary())
+        cols["doc_id"] = pa.nulls(batch.num_rows, pa.int64())
+        cols["_rb"] = pa.array(rkb)
+        cols["_tag"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def pad_keep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        rkb = np.fromiter(
+            (int.from_bytes(r[:4], "big") % DEDUP_BUCKETS
+             for r in batch["rk"].to_pylist()),
+            np.int32, n,
+        )
+        cols = {c: pa.nulls(n, out_types[c]) for c in fschema.names}
+        cols["rk"] = batch["rk"]
+        cols["doc_id"] = batch["doc_id"]
+        cols["_rb"] = pa.array(rkb)
+        cols["_tag"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    unioned = ds.map_batches(pad_full, batch_format="pyarrow").union(
+        keepers.map_batches(pad_keep, batch_format="pyarrow")
+    )
+
+    # per-bucket merge stays in Arrow end to end (pyarrow's C++ hash join):
+    # text columns never round-trip through pandas and doc_id keeps int64
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = g.filter(pc.equal(g["_tag"], 0)).select(list(fschema.names) + ["rk"])
+        k = g.filter(pc.equal(g["_tag"], 1)).select(["rk", "doc_id"])
+        if f.num_rows == 0 or k.num_rows == 0:
+            return pa.table({c: pa.nulls(0, out_types[c]) for c in out_cols})
+        j = f.join(k, keys="rk", join_type="inner")
+        if pc.count_distinct(j["rk"]).as_py() < j.num_rows:
+            # identical duplicate rows share rk and both matched the keeper
+            # decision; they are byte-identical, keep the first
+            seen, keep_idx = set(), []
+            for i, r in enumerate(j["rk"].to_pylist()):
+                if r not in seen:
+                    seen.add(r)
+                    keep_idx.append(i)
+            j = j.take(pa.array(keep_idx, pa.int64()))
+        return j.select(out_cols)
+
+    return unioned.groupby("_rb").map_groups(merge, batch_format="pyarrow")
 
 
 class EnrichStage:

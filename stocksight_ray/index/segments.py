@@ -213,8 +213,12 @@ def build_resumable(
     # already-committed boundary shard invalidates just that shard.
     stats = shard_stats(docs, id_col, text_col, shard_docs)
     n_shards = max(stats) + 1 if stats else 0
-    built: List[dict] = []
     todo = range(n_shards) if max_shards is None else range(min(n_shards, max_shards))
+
+    # decide reuse up front so the staging pass below writes only the shards
+    # that actually need (re)building
+    reuse: dict = {}
+    need: List[int] = []
     for shard in todo:
         seg = _shard_dir(out_dir, shard)
         marker = os.path.join(seg, "_SUCCESS")
@@ -223,22 +227,62 @@ def build_resumable(
             with open(os.path.join(seg, "lineage.json")) as f:
                 lin = json.load(f)
             if lin["n_docs"] == cur["cnt"] and lin.get("content_fp") == cur["fp"]:
-                built.append(lin)
+                reuse[shard] = lin
                 continue
             # shard range changed since commit — gained docs (append
             # boundary) OR same count with different (doc_id → text)
             # content (upstream renumbering) — rebuild it
+        need.append(shard)
+
+    # ONE projected pass over the corpus partitions the to-build shards into
+    # a hive-layout staging dir, so each build_segment reads ONLY its range —
+    # total read volume is O(corpus + rebuilt shards), not O(corpus x shards)
+    import shutil
+
+    import ray.data as rd
+
+    staging = os.path.join(out_dir, "_staging")
+    if need:
+        shutil.rmtree(staging, ignore_errors=True)
+        need_arr = np.asarray(need, dtype=np.int64)
+
+        def tag_and_filter(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sh = ids // shard_docs
+            mask = np.isin(sh, need_arr)
+            out = batch.select([id_col, text_col]).filter(pa.array(mask))
+            return out.append_column("_shard", pa.array(sh[mask]))
+
+        docs.select_columns([id_col, text_col]).map_batches(
+            tag_and_filter, batch_format="pyarrow"
+        ).write_parquet(staging, partition_cols=["_shard"])
+
+    built: List[dict] = []
+    for shard in todo:
+        if shard in reuse:
+            built.append(reuse[shard])
+            continue
+        shard_path = os.path.join(staging, f"_shard={shard}")
+        if os.path.isdir(shard_path):
+            shard_ds = rd.read_parquet(shard_path, columns=[id_col, text_col])
+        else:  # shard range holds no rows
+            shard_ds = rd.from_arrow(pa.table({
+                id_col: pa.nulls(0, pa.int64()),
+                text_col: pa.nulls(0, pa.string()),
+            }))
         built.append(
             build_segment(
-                docs, out_dir, shard,
+                shard_ds, out_dir, shard,
                 shard * shard_docs, (shard + 1) * shard_docs,
                 text_col=text_col, id_col=id_col, analyzer=analyzer,
                 num_partitions=num_partitions, salt_range=salt_range,
-                batch_size=batch_size, content_fp=cur["fp"],
+                batch_size=batch_size,
+                content_fp=stats.get(shard, {"cnt": 0, "fp": 0})["fp"],
             )
         )
     if max_shards is not None and max_shards < n_shards:
         return {"partial": True, "shards_built": len(built), "n_shards": n_shards}
+    shutil.rmtree(staging, ignore_errors=True)
     return assemble(out_dir, analyzer=analyzer, num_partitions=num_partitions,
                     salt_range=salt_range)
 

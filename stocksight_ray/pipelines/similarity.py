@@ -102,11 +102,25 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 def train_centroids(ds, nlist: int = 16, vec_col: str = "embedding",
-                    sample_n: int = 4096, iters: int = 10, seed: int = 5) -> np.ndarray:
+                    sample_n: int = 4096, iters: int = 10, seed: int = 5,
+                    id_col: str = "vec_id") -> np.ndarray:
     """Deterministic k-means-lite on a corpus sample (seeded init, fixed
     iteration count, no empty-cluster randomness — empties re-seeded from the
-    farthest points, deterministically)."""
-    sample = ds.limit(sample_n).select_columns([vec_col]).to_pandas()
+    farthest points, deterministically).
+
+    The sample is a deterministic HASH sample over ``id_col`` (crc32 mod),
+    not first-N: on a sorted or clustered corpus ``limit(n)`` would see one
+    region only and bias every centroid into it."""
+    from .sampling import hash_sample
+
+    n = ds.count()
+    den = max(1, n // sample_n)
+    sample = (
+        hash_sample(ds.select_columns([id_col, vec_col]), id_col, 1, den)
+        .limit(sample_n)
+        .select_columns([vec_col])
+        .to_pandas()
+    )
     x = _normalize(np.asarray(list(sample[vec_col]), dtype=np.float64))
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]

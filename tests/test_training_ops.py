@@ -303,6 +303,31 @@ def test_ivf_topk_recall(ray_session):
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
 
 
+def test_train_centroids_sorted_corpus_balanced(ray_session):
+    """On a corpus SORTED by cluster (all of cluster A first), the sample
+    must still see both clusters — first-N sampling would put every
+    centroid inside cluster A and leave cluster B's bucket empty."""
+    import ray.data as rd
+    from stocksight_ray.pipelines.similarity import ivf_partition, train_centroids
+
+    rng = np.random.RandomState(3)
+    n_half = 3000
+    a = rng.standard_normal((n_half, 8)) * 0.05 + np.array([5.0] + [0.0] * 7)
+    b = rng.standard_normal((n_half, 8)) * 0.05 + np.array([0.0] * 7 + [5.0])
+    vecs = np.vstack([a, b])  # sorted: A rows then B rows
+    t = pa.table({
+        "vec_id": pa.array(range(2 * n_half), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+    cent = train_centroids(ds, nlist=2, sample_n=512)
+    counts = (
+        ivf_partition(ds, cent).to_pandas()["bucket"].value_counts()
+    )
+    assert len(counts) == 2
+    assert counts.min() / counts.max() > 0.5  # both clusters represented
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

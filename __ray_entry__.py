@@ -830,6 +830,115 @@ def q43_top_users_by_value(sf_dir: str):
     return _round_cols(agg, {"total_value": 4})
 
 
+def q44_link_score_fold(sf_dir: str):
+    """J2 link-score fold (/root/reference/sentiment.py:201-222): linked-page
+    sentiment folded into each doc's score with the reference's
+    order-dependent (a+b)/2 rule.  Pages table = the enriched corpus itself;
+    doc→link edges are synthesized deterministically over corpus urls (the
+    edge synthesis is test wiring — the operator takes any urls column), and
+    urls embedded in text stay dangling, exercising the failed-fetch skip.
+    Rows-only (the ordered fold is not SQL-expressible)."""
+    import ray
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+    from stocksight_ray.pipelines.linkfold import link_score_fold
+    from stocksight_ray.webtext import generate_table
+
+    ds = rd.from_arrow(generate_table(800, seed=42))
+    docs = ingest_webtext(ds).drop_columns(["tokens"]).materialize()
+
+    url_df = docs.select_columns(["doc_id", "url"]).to_pandas()
+    n = len(url_df)
+    url_map = dict(zip(url_df["doc_id"].astype(int), url_df["url"]))
+    ref = ray.put(url_map)
+
+    def add_urls(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        urls = []
+        for d in batch["doc_id"].to_pylist():
+            d = int(d)
+            urls.append([m[(d * 7 + 3) % n], m[(d * 13 + 5) % n]][: d % 3])
+        return batch.append_column("urls", pa.array(urls, pa.list_(pa.string())))
+
+    linked = docs.select_columns(
+        ["doc_id", "polarity", "subjectivity", "sentiment"]
+    ).map_batches(add_urls, batch_format="pyarrow")
+    pages = docs.select_columns(["url", "polarity", "subjectivity", "sentiment"])
+    out = link_score_fold(linked, pages).to_pandas()
+    out["polarity"] = out["polarity"].round(6)
+    out["subjectivity"] = out["subjectivity"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q45_sessionize(sf_dir: str):
+    """Gap-window sessionization (30-min inactivity) over the event stream —
+    per-user session rows with count + span; window-function SQL oracle."""
+    from stocksight_ray.pipelines.sessions import sessionize
+
+    out = sessionize(_events(sf_dir), gap_sec=1800).to_pandas()
+    out["start_us"] = out["session_start"].astype("int64")
+    out["end_us"] = out["session_end"].astype("int64")
+    out = out.drop(columns=["session_start", "session_end"])
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+def q46_anti_join(sf_dir: str):
+    """Distributed anti-join: customers with no URGENT order.  The right
+    side ships distinct keys only (pruned at the read + filtered
+    map-side); per-bucket membership test stays in Arrow."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import semi_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    urgent = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    out = semi_join(
+        cust, urgent, on="c_custkey", left_cols=["c_custkey", "c_name"],
+        anti=True,
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q47_props_extract(sf_dir: str):
+    """Typed JSON metadata extraction (props.k) + grouped aggregate —
+    pre-reduced inside map_batches before the small groupby."""
+    from ray.data.aggregate import Sum
+
+    from stocksight_ray.functions.jsonx import json_int_field
+
+    def local(batch: pa.Table) -> pa.Table:
+        b = json_int_field(
+            batch.select(["event_type", "props"]), "props", "k", "k"
+        )
+        g = pa.TableGroupBy(b.select(["event_type", "k"]), "event_type").aggregate(
+            [("k", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "p_sum", "p_cnt"])
+
+    agg = (
+        _events(sf_dir)
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p_sum", alias_name="sum_k"), Sum("p_cnt", alias_name="n"))
+        .to_pandas()
+    )
+    agg["avg_k"] = (agg["sum_k"] / agg["n"]).round(6)
+    agg = agg[["event_type", "n", "sum_k", "avg_k"]]
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -875,6 +984,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_pack_sequences": q41_pack_sequences,
         "q42_avg_events_per_user": q42_avg_events_per_user,
         "q43_top_users_by_value": q43_top_users_by_value,
+        "q44_link_score_fold": q44_link_score_fold,
+        "q45_sessionize": q45_sessionize,
+        "q46_anti_join": q46_anti_join,
+        "q47_props_extract": q47_props_extract,
     }
 
 
@@ -1019,6 +1132,29 @@ def oracle_sql() -> dict[str, str]:
         "q43_top_users_by_value": (
             "SELECT user_id, round(sum(value), 4) AS total_value FROM events "
             "GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 5"
+        ),
+        "q45_sessionize": (
+            "WITH e AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w "
+            "IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, CAST(SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+            "FROM e) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us "
+            "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"
+        ),
+        "q46_anti_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"
+        ),
+        "q47_props_extract": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, "
+            "round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "q17_events_ohlc": (
             "WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)"

@@ -190,6 +190,30 @@ def main_bench() -> None:
         "details": {"build": build, "query": qbench},
     }
     ray.shutdown()
+
+    # per-round scaling evidence lands in BENCH_rN.json itself (one run per
+    # level here — noisier than --scaling's best-of-2-interleaved, which
+    # remains the authoritative BASELINE.md number)
+    try:
+        thr = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=900,
+            )
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+            thr[cpus] = json.loads(line[-1])["docs_per_sec"]
+        result["scaling"] = {
+            "docs_per_sec_8cpu": thr[8],
+            "docs_per_sec_32cpu": thr[32],
+            "efficiency_8_to_32": round((thr[32] / thr[8]) / 4, 3),
+            "n_pages": N_PAGES_SCALING,
+            "runs_per_level": 1,
+        }
+    except Exception as ex:  # scaling evidence is best-effort in the bench
+        result["scaling"] = {"error": str(ex)[:200]}
     print(json.dumps(result))
 
 

@@ -576,8 +576,9 @@ class QueryEngine:
             return text or ""
         out = []
         for w in text.split(" "):
-            a = self._analyze(w)
-            if a and a[0] in terms:
+            # a word may analyze to several terms (hyphenated compounds);
+            # highlight when ANY of them matches, per Kibana highlightAll
+            if any(t in terms for t in self._analyze(w)):
                 out.append(f"{pre}{w}{post}")
             else:
                 out.append(w)

@@ -126,7 +126,7 @@ def build_segment(
         fn_constructor_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(2, 8),
+        concurrency=(1, 8),
     )
     tokenized = sub.map_batches(TokenizeStage, **tokenize_kwargs).materialize()
 

@@ -71,7 +71,7 @@ def search_dataset(
     *,
     k: int = 10,
     method: str = "auto",
-    concurrency=(2, 8),
+    concurrency=(1, 8),
     batch_size: int = 64,
 ):
     """Bulk top-k over a Dataset of (query_id:int64, query:string[, k])."""

@@ -309,7 +309,15 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
             j = j.take(pa.array(keep_idx, pa.int64()))
         return j.select(out_cols)
 
-    return unioned.groupby("_rb").map_groups(merge, batch_format="pyarrow")
+    # materialize: id assignment is a pipeline barrier by nature (global
+    # rank), and fusing the union/sort/join tail into downstream actor-pool
+    # stages can resource-deadlock small sessions (pools' reserved CPUs
+    # starve the pad/stamp tasks).  Blocks spill at scale.
+    return (
+        unioned.groupby("_rb")
+        .map_groups(merge, batch_format="pyarrow")
+        .materialize()
+    )
 
 
 class EnrichStage:
@@ -409,7 +417,7 @@ def ingest_webtext(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         # autoscaling pool: small floor (fast start on small inputs), ceiling
         # sized to the node so the stage can saturate when blocks are many
-        enrich_concurrency = (2, max(2, cpus - 2))
+        enrich_concurrency = (1, max(2, cpus - 2))
 
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(clean_filter_batch, batch_format="pyarrow", batch_size=batch_size)

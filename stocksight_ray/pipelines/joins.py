@@ -245,3 +245,77 @@ def rolling_mean(
         return g[keep + [out]] if keep else g
 
     return ds.groupby(key).map_groups(roll, batch_format="pandas")
+
+
+def semi_join(
+    left,
+    right,
+    *,
+    on: str,
+    left_cols: Sequence[str],
+    anti: bool = False,
+    num_buckets: int = 256,
+):
+    """Semi-join (left rows WITH a right match) / anti-join (WITHOUT).
+
+    The right side collapses to its per-batch DISTINCT keys before the
+    shuffle, so the exchange carries bare keys for the right side; the
+    per-bucket membership test is an Arrow ``is_in`` — left rows never
+    round-trip through pandas and keep their exact dtypes."""
+    lschema = left.schema()
+    ltypes = {c: lschema.types[lschema.names.index(c)] for c in left_cols}
+    lcols = list(left_cols)
+    if on not in lcols:
+        lcols = [on] + lcols
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        return batch.select(lcols).append_column(
+            "_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch[on].combine_chunks())
+        n = len(keys)
+        cols = {}
+        for c in lcols:
+            if c == on:
+                cols[c] = keys.cast(lschema.types[lschema.names.index(on)])
+            else:
+                cols[c] = pa.nulls(n, ltypes[c])
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keys = batch[on]
+        if pa.types.is_integer(keys.type):
+            b = pc.cast(pc.bit_wise_and(keys, num_buckets - 1), pa.int32())
+        else:
+            import zlib
+
+            b = pa.array(
+                [zlib.crc32(str(k).encode()) % num_buckets for k in keys.to_pylist()],
+                pa.int32(),
+            )
+        return batch.append_column("_b", b)
+
+    both = (
+        left.select_columns(lcols)
+        .map_batches(pad_left, batch_format="pyarrow")
+        .union(
+            right.select_columns([on]).map_batches(pad_right, batch_format="pyarrow")
+        )
+        .map_batches(bucketize, batch_format="pyarrow")
+    )
+    out_cols = list(left_cols)
+
+    def merge(g: pa.Table) -> pa.Table:
+        f = g.filter(pc.equal(g["_side"], 0))
+        keys = pc.unique(g.filter(pc.equal(g["_side"], 1))[on].combine_chunks())
+        if f.num_rows == 0:
+            return pa.table({c: pa.nulls(0, ltypes[c]) for c in out_cols})
+        mask = pc.is_in(f[on].combine_chunks(), value_set=keys)
+        if anti:
+            mask = pc.invert(mask)
+        return f.filter(mask).select(out_cols)
+
+    return both.groupby("_b").map_groups(merge, batch_format="pyarrow")

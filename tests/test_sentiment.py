@@ -3,6 +3,8 @@ reference combine rule (/root/reference/sentiment.py:467-528)."""
 
 import math
 
+import pyarrow as pa
+
 from stocksight_ray.functions.sentiment import (
     pattern_scores,
     sentiment_analysis,
@@ -80,3 +82,86 @@ def test_quoted_words_and_bigram_boosters():
     assert quoted[0] == plain[0] and quoted[2] == plain[2]
     # 'kind of' dampens relative to the bare word
     assert abs(vader_compound("kind of good")) < abs(vader_compound("good"))
+
+
+# ---------------------------------------------------------------------------
+# J2 link-score fold (/root/reference/sentiment.py:201-222)
+# ---------------------------------------------------------------------------
+
+def test_fold_link_scores_golden():
+    from stocksight_ray.pipelines.linkfold import fold_link_scores
+
+    # hand trace of the reference fold:
+    # urls_pol = ((0 + 0.5)/2 + (-0.3))/2 = -0.025 -> NOT > 0 -> polarity kept
+    # urls_sub = ((0 + 0.2)/2 + 0.1)/2 = 0.1 -> subjectivity = (0.4+0.1)/2
+    # label: positive link first -> positive, then "positive or negative"
+    # -> first branch (sentiment == positive) -> stays positive
+    p, s, lab = fold_link_scores(
+        0.1, 0.4, "neutral",
+        [(0.5, 0.2, "positive"), (-0.3, 0.1, "negative")],
+    )
+    assert p == 0.1  # urls_pol <= 0 quirk: polarity unchanged
+    assert s == (0.4 + 0.1) / 2
+    assert lab == "positive"
+
+    # no links -> unchanged
+    assert fold_link_scores(0.2, 0.3, "negative", []) == (0.2, 0.3, "negative")
+
+    # order dependence of the polarity fold: later links weigh more
+    p1, _, _ = fold_link_scores(0.0, 0.0, "neutral", [(0.8, 0, "neutral"), (0.2, 0, "neutral")])
+    p2, _, _ = fold_link_scores(0.0, 0.0, "neutral", [(0.2, 0, "neutral"), (0.8, 0, "neutral")])
+    assert p1 != p2
+    assert p1 == (0.0 + ((0.0 + 0.8) / 2 + 0.2) / 2) / 2
+
+
+def test_link_score_fold_distributed(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.linkfold import fold_link_scores, link_score_fold
+
+    pages = pa.table({
+        "url": pa.array([f"https://p{i}.example/" for i in range(6)], pa.string()),
+        "polarity": pa.array([0.5, -0.3, 0.0, 0.9, -0.8, 0.1], pa.float64()),
+        "subjectivity": pa.array([0.2, 0.1, 0.0, 0.7, 0.6, 0.3], pa.float64()),
+        "sentiment": pa.array(
+            ["positive", "negative", "neutral", "positive", "negative", "neutral"],
+            pa.string()),
+    })
+    url = pages["url"].to_pylist()
+    docs = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "polarity": pa.array([0.1, -0.2, 0.0, 0.4, 0.05], pa.float64()),
+        "subjectivity": pa.array([0.4, 0.3, 0.0, 0.5, 0.2], pa.float64()),
+        "sentiment": pa.array(
+            ["neutral", "negative", "neutral", "positive", "neutral"], pa.string()),
+        "urls": pa.array(
+            [
+                [url[0], url[1]],
+                [url[1], url[0]],          # same links, other order
+                [],
+                [url[3], "https://missing.example/", url[4]],  # skip missing
+                [url[2]],
+            ],
+            pa.list_(pa.string())),
+    })
+    got = (
+        link_score_fold(
+            rd.from_arrow(docs).repartition(3), rd.from_arrow(pages).repartition(2)
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    page_map = {
+        r["url"]: (r["polarity"], r["subjectivity"], r["sentiment"])
+        for r in pages.to_pylist()
+    }
+    d = docs.to_pandas()
+    for i, r in d.iterrows():
+        res = [page_map[u] for u in r["urls"] if u in page_map]
+        ep, es, el = fold_link_scores(
+            r["polarity"], r["subjectivity"], r["sentiment"], res
+        )
+        assert got.loc[i, "polarity"] == ep, i
+        assert got.loc[i, "subjectivity"] == es, i
+        assert got.loc[i, "sentiment"] == el, i
+    # the two orderings of the same links produced different polarities
+    assert got.loc[0, "polarity"] != got.loc[1, "polarity"]

@@ -1,0 +1,81 @@
+"""Sessionization, semi/anti join, and JSON-field extraction units
+(driver-side SQL oracles cover these too: q45/q46/q47)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_sessionize_splits_on_gap(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.sessions import sessionize
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap of 2h between event 2 and 3)
+        (1, base, 1),
+        (1, base + timedelta(minutes=10), 2),
+        (1, base + timedelta(hours=2, minutes=10), 3),
+        # user 2: one session, exactly-30min gap does NOT split (> only)
+        (2, base, 4),
+        (2, base + timedelta(minutes=30), 5),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = (
+        sessionize(rd.from_arrow(t).repartition(2), gap_sec=1800)
+        .to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    assert out[out["user_id"] == 1]["session_id"].tolist() == [1, 2]
+    assert out[out["user_id"] == 1]["n_events"].tolist() == [2, 1]
+    u2 = out[out["user_id"] == 2]
+    assert u2["session_id"].tolist() == [1] and u2["n_events"].tolist() == [2]
+    s1 = out[(out["user_id"] == 1) & (out["session_id"] == 1)].iloc[0]
+    assert s1["session_start"] == pd.Timestamp(base)
+    assert s1["session_end"] == pd.Timestamp(base + timedelta(minutes=10))
+
+
+def test_semi_and_anti_join(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import semi_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    })
+    right = pa.table({"k": pa.array([2, 2, 4, 9], pa.int64())})
+    semi = (
+        semi_join(rd.from_arrow(left).repartition(2), rd.from_arrow(right),
+                  on="k", left_cols=["k", "v"])
+        .to_pandas().sort_values("k")
+    )
+    assert semi["k"].tolist() == [2, 4]
+    assert list(semi.dtypes.astype(str)) == ["int64", "object"]
+    anti = (
+        semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                  on="k", left_cols=["k", "v"], anti=True)
+        .to_pandas().sort_values("k")
+    )
+    assert anti["k"].tolist() == [1, 3, 5]
+
+
+def test_json_int_field_robust():
+    from stocksight_ray.functions.jsonx import json_int_field
+
+    t = pa.table({
+        "props": pa.array(
+            ['{"k": 7}', '{"k": "x"}', 'not json', None, '{"other": 1}',
+             '{"k": 2.0}'],
+            pa.string()),
+    })
+    out = json_int_field(t, "props", "k", "k")
+    assert out["k"].to_pylist() == [7, None, None, None, None, 2]
+    assert out["k"].type == pa.int64()

@@ -864,7 +864,15 @@ def q44_link_score_fold(sf_dir: str):
     linked = docs.select_columns(
         ["doc_id", "polarity", "subjectivity", "sentiment"]
     ).map_batches(add_urls, batch_format="pyarrow")
-    pages = docs.select_columns(["url", "polarity", "subjectivity", "sentiment"])
+    # F5: pages whose text contains the reference's twitter-page marker are
+    # skipped like failed fetches (no-op on this corpus; unit-tested)
+    from stocksight_ray.pipelines.linkfold import filter_pages_substring
+
+    pages = filter_pages_substring(
+        docs.select_columns(
+            ["url", "polarity", "subjectivity", "sentiment", "text"]
+        )
+    ).select_columns(["url", "polarity", "subjectivity", "sentiment"])
     out = link_score_fold(linked, pages).to_pandas()
     out["polarity"] = out["polarity"].round(6)
     out["subjectivity"] = out["subjectivity"].round(6)
@@ -992,6 +1000,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Deterministic non-SQL kernels (simhash / rolling fingerprint / n-gram
+    # lang-id) use GOLDEN-PARQUET oracles: the SQL selects a committed file
+    # produced by scripts/make_goldens.py over the sf0.01 tables (the sf the
+    # driver's correctness gate runs at).  This pins cross-round determinism
+    # and the exact value profile; kernel changes must regenerate goldens
+    # deliberately, which shows up in the git diff.
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "golden")
     return {
         "q01_lang_topk": (
             "SELECT lang, count(*) AS cnt FROM documents "
@@ -1132,6 +1147,15 @@ def oracle_sql() -> dict[str, str]:
         "q43_top_users_by_value": (
             "SELECT user_id, round(sum(value), 4) AS total_value FROM events "
             "GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 5"
+        ),
+        "q20_simhash": (
+            f"SELECT doc_id, simhash FROM read_parquet('{golden}/q20_simhash_sf001.parquet')"
+        ),
+        "q21_fingerprint": (
+            f"SELECT doc_id, fingerprint FROM read_parquet('{golden}/q21_fingerprint_sf001.parquet')"
+        ),
+        "q22_lang_id": (
+            f"SELECT doc_id, lang_pred FROM read_parquet('{golden}/q22_lang_id_sf001.parquet')"
         ),
         "q45_sessionize": (
             "WITH e AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w "

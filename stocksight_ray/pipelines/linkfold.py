@@ -210,3 +210,24 @@ def link_score_fold(
         .groupby("_db")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def filter_pages_substring(
+    pages,
+    *,
+    text_col: str = "text",
+    marker: str = "Tweet with a location",
+):
+    """F5 (/root/reference/sentiment.py:538-541): linked pages whose text
+    contains ``marker`` (the reference's twitter-web-page check) are
+    dropped from the pages table entirely — the fold then skips those
+    links exactly like the reference's ``return None``.  Map-side
+    vectorized substring predicate; no shuffle."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.match_substring(batch[text_col], marker))
+        )
+
+    return pages.map_batches(f, batch_format="pyarrow")

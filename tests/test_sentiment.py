@@ -165,3 +165,40 @@ def test_link_score_fold_distributed(ray_session):
         assert got.loc[i, "sentiment"] == el, i
     # the two orderings of the same links produced different polarities
     assert got.loc[0, "polarity"] != got.loc[1, "polarity"]
+
+
+def test_filter_pages_substring_f5(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.linkfold import (
+        filter_pages_substring, link_score_fold,
+    )
+
+    pages = pa.table({
+        "url": pa.array(["https://a/", "https://b/"], pa.string()),
+        "polarity": pa.array([0.9, 0.9], pa.float64()),
+        "subjectivity": pa.array([0.5, 0.5], pa.float64()),
+        "sentiment": pa.array(["positive", "positive"], pa.string()),
+        "text": pa.array(
+            ["real article text", "Tweet with a location embedded"], pa.string()),
+    })
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "polarity": pa.array([0.0, 0.0], pa.float64()),
+        "subjectivity": pa.array([0.0, 0.0], pa.float64()),
+        "sentiment": pa.array(["neutral", "neutral"], pa.string()),
+        "urls": pa.array([["https://a/"], ["https://b/"]], pa.list_(pa.string())),
+    })
+    filtered = filter_pages_substring(rd.from_arrow(pages)).select_columns(
+        ["url", "polarity", "subjectivity", "sentiment"]
+    )
+    out = (
+        link_score_fold(rd.from_arrow(docs), filtered)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc 0's link survives (folded positive); doc 1's link was a twitter
+    # page -> skipped, scores unchanged
+    assert out.loc[0, "sentiment"] == "positive"
+    assert out.loc[0, "polarity"] == (0.0 + (0.0 + 0.9) / 2) / 2
+    assert out.loc[1, "sentiment"] == "neutral"
+    assert out.loc[1, "polarity"] == 0.0

@@ -947,6 +947,51 @@ def q47_props_extract(sf_dir: str):
     return agg.sort_values("event_type").reset_index(drop=True)
 
 
+def q48_repetition_stats(sf_dir: str):
+    """Gopher-style intra-doc repetition signals (distinct-word ratio,
+    top word/bigram fractions, max word length) — SQL-checked."""
+    from stocksight_ray.functions.textstats import repetition_stats_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(repetition_stats_batch, batch_format="pyarrow")
+        .select_columns([
+            "doc_id", "n_words", "n_distinct_words", "distinct_ratio",
+            "top_word_frac", "top_bigram_frac", "max_word_len",
+        ])
+    )
+
+
+def q49_mix_sources(sf_dir: str):
+    """Deterministic dataset mixing: per-source admission rate
+    100 - 5*source_index (% of id space) — SQL-checked."""
+    from stocksight_ray.pipelines.sampling import mix_sources
+
+    rates = {f"src{i}": 100 - 5 * i for i in range(20)}
+    out = mix_sources(
+        _docs(sf_dir).select_columns(["doc_id", "source"]), rates
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q50_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing an 8-word-gram with the
+    'benchmark' subset (doc_id % 97 == 0, derived from the same table so
+    the oracle can compute it) get flagged; SQL-checked via an n-gram
+    overlap join."""
+    from stocksight_ray.pipelines.decontam import decontaminate
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_rows, batch_format="pyarrow")
+    out = decontaminate(docs, bench, ngram=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -996,6 +1041,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_sessionize": q45_sessionize,
         "q46_anti_join": q46_anti_join,
         "q47_props_extract": q47_props_extract,
+        "q48_repetition_stats": q48_repetition_stats,
+        "q49_mix_sources": q49_mix_sources,
+        "q50_decontaminate": q50_decontaminate,
     }
 
 
@@ -1168,6 +1216,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, count(*) AS n_events, "
             "epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us "
             "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"
+        ),
+        "q48_repetition_stats": (
+            "WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "w AS (SELECT doc_id, unnest(l) AS w FROM base), "
+            "wc AS (SELECT doc_id, max(c) AS topw FROM "
+            "  (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) GROUP BY doc_id), "
+            "b AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), "
+            "  i -> l[i] || ' ' || l[i+1])) AS bg FROM base), "
+            "bc AS (SELECT doc_id, max(c) AS topb FROM "
+            "  (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg) GROUP BY doc_id) "
+            "SELECT base.doc_id, len(l) AS n_words, "
+            "len(list_distinct(l)) AS n_distinct_words, "
+            "len(list_distinct(l)) / greatest(len(l), 1) AS distinct_ratio, "
+            "wc.topw / greatest(len(l), 1) AS top_word_frac, "
+            "coalesce(bc.topb, 0) / greatest(len(l) - 1, 1) AS top_bigram_frac, "
+            "list_max(list_transform(l, x -> length(x))) AS max_word_len "
+            "FROM base JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id) "
+            "ORDER BY base.doc_id"
+        ),
+        "q49_mix_sources": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE doc_id % 100 < 100 - 5 * CAST(substr(source, 4) AS INT) "
+            "ORDER BY doc_id"
+        ),
+        "q50_decontaminate": (
+            "WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, unnest(list_transform("
+            "  range(1, greatest(len(l) - 7, 0) + 1), "
+            "  i -> array_to_string(list_slice(l, i, i + 7), ' '))) AS g FROM base), "
+            "bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT grams.doc_id, count(*) AS n_hits FROM grams "
+            "  JOIN bg USING (g) GROUP BY grams.doc_id) "
+            "SELECT base.doc_id, coalesce(n_hits, 0) AS n_hits, "
+            "coalesce(n_hits, 0) > 0 AS contaminated "
+            "FROM base LEFT JOIN hits USING (doc_id) ORDER BY base.doc_id"
         ),
         "q46_anti_join": (
             "SELECT c_custkey, c_name FROM customer "

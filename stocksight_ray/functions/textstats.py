@@ -210,3 +210,46 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "lang_pred", pa.array([lang_id(t) for t in texts], pa.string())
     )
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021 §A1):
+    distinct-word ratio, most-common-word fraction, top-bigram fraction,
+    and max word length — the filters web-corpus pipelines use to drop
+    boilerplate/repeated-token documents.  Integer counts + float64 ratios,
+    whitespace tokenization (split on single space like the quality stats),
+    so every value reproduces exactly in SQL."""
+    col = pc.fill_null(batch[text_col], "")
+    texts = col.to_pylist()
+    n = len(texts)
+    n_tok = np.empty(n, np.int64)
+    n_distinct = np.empty(n, np.int64)
+    top_word = np.empty(n, np.int64)
+    top_bigram = np.empty(n, np.int64)
+    max_len = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        words = t.split(" ") if t else []
+        n_tok[i] = len(words)
+        if not words:
+            n_distinct[i] = top_word[i] = top_bigram[i] = max_len[i] = 0
+            continue
+        vals, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        n_distinct[i] = len(vals)
+        top_word[i] = counts.max()
+        max_len[i] = max(len(w) for w in words)
+        if len(words) > 1:
+            bi = [words[j] + " " + words[j + 1] for j in range(len(words) - 1)]
+            _, bc = np.unique(np.asarray(bi, dtype=object), return_counts=True)
+            top_bigram[i] = bc.max()
+        else:
+            top_bigram[i] = 0
+    denom = np.maximum(n_tok, 1).astype(np.float64)
+    denom_bi = np.maximum(n_tok - 1, 1).astype(np.float64)
+    return (
+        batch.append_column("n_words", pa.array(n_tok))
+        .append_column("n_distinct_words", pa.array(n_distinct))
+        .append_column("distinct_ratio", pa.array(n_distinct / denom))
+        .append_column("top_word_frac", pa.array(top_word / denom))
+        .append_column("top_bigram_frac", pa.array(top_bigram / denom_bi))
+        .append_column("max_word_len", pa.array(max_len))
+    )

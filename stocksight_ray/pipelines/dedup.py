@@ -52,23 +52,27 @@ def _content_hash(texts: List[str]) -> np.ndarray:
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per distinct text. Shuffle key = sha1(text) (64-bit
-    prefix) — collisions across distinct texts are ~impossible at 2^-64 but a
-    per-group text equality check still guards them."""
+    """Keep the min-id row per distinct text.  Shuffle key = BUCKET of
+    sha1(text) (fixed count, so map_groups runs O(buckets) vectorized
+    pandas calls, not one per distinct text); within a bucket the dedup
+    key is the full 63-bit hash + a text equality check (drop_duplicates
+    on text itself), guarding the ~2^-64 cross-text collision."""
+    NB = 256
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_h", pa.array(_content_hash(batch[text_col].to_pylist()))
+        h = _content_hash(batch[text_col].to_pylist())
+        return batch.append_column("_h", pa.array(h)).append_column(
+            "_hb", pa.array((h % NB).astype(np.int32))
         )
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="stable")
-        g = g.drop_duplicates(text_col, keep="first")
-        return g.drop(columns=["_h"])
+        g = g.drop_duplicates(text_col, keep="first")  # min id per text
+        return g.drop(columns=["_h", "_hb"])
 
     return (
         ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("_h")
+        .groupby("_hb")
         .map_groups(first_per_text, batch_format="pandas")
     )
 

@@ -58,3 +58,20 @@ def stratified_head(ds, strata: str, n: int, order_cols: Sequence[str]):
         return g.sort_values(cols, kind="stable").head(n)
 
     return ds.groupby(strata).map_groups(head, batch_format="pandas")
+
+
+def mix_sources(ds, rates: dict, *, source_col: str = "source",
+                id_col: str = "doc_id", den: int = 100, default: int = 0):
+    """Deterministic dataset mixing: admit a row iff ``id % den <
+    rates[source]`` — the per-source quota step of training-data mixture
+    construction (each source independently downsampled to its rate, stable
+    across runs and partitionings).  ``rates`` is a tiny dict shipped in the
+    task closure; one map pass, no shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = batch[source_col].to_pylist()
+        r = np.fromiter((rates.get(s, default) for s in srcs), np.int64, len(srcs))
+        return batch.filter(pa.array((ids % den) < r))
+
+    return ds.map_batches(f, batch_format="pyarrow")

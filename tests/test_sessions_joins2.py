@@ -79,3 +79,50 @@ def test_json_int_field_robust():
     out = json_int_field(t, "props", "k", "k")
     assert out["k"].to_pylist() == [7, None, None, None, None, 2]
     assert out["k"].type == pa.int64()
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.decontam import decontaminate
+
+    bench_sentence = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "completely unrelated words about markets and trading today",
+            "prefix words then " + bench_sentence + " and a suffix",
+            "another clean document with nothing shared at all here",
+        ], pa.string()),
+    })
+    bench = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([bench_sentence], pa.string()),
+    })
+    out = (
+        decontaminate(rd.from_arrow(corpus), rd.from_arrow(bench), ngram=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [False, True, False]
+    assert out.loc[1, "n_hits"] == 3  # 10-word overlap -> three 8-grams
+
+
+def test_mix_sources_rates(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.sampling import mix_sources
+
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "source": pa.array(["a" if i % 2 == 0 else "b" for i in range(200)], pa.string()),
+    })
+    out = mix_sources(
+        rd.from_arrow(t).repartition(3), {"a": 100, "b": 10}
+    ).to_pandas()
+    a = out[out["source"] == "a"]
+    b = out[out["source"] == "b"]
+    assert len(a) == 100  # rate 100 keeps everything
+    assert set(b["doc_id"] % 100 < 10) == {True}
+    # deterministic: same call again gives identical rows
+    out2 = mix_sources(rd.from_arrow(t), {"a": 100, "b": 10}).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])

@@ -191,12 +191,16 @@ def main_bench() -> None:
     }
     ray.shutdown()
 
-    # per-round scaling evidence lands in BENCH_rN.json itself (one run per
-    # level here — noisier than --scaling's best-of-2-interleaved, which
-    # remains the authoritative BASELINE.md number)
+    # per-round scaling evidence lands in BENCH_rN.json itself.  Interleaved
+    # best-of-2 per level when time allows (single runs on this shared box
+    # swing 2-3x with background load); a second pair is skipped if the
+    # first already cost > 300 s.
     try:
-        thr = {}
-        for cpus in (8, 32):
+        thr = {8: [], 32: []}
+        t_scale = time.time()
+        for i, cpus in enumerate((8, 32, 8, 32)):
+            if i == 2 and time.time() - t_scale > 300:
+                break
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
                 capture_output=True, text=True,
@@ -204,13 +208,14 @@ def main_bench() -> None:
                 timeout=900,
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-            thr[cpus] = json.loads(line[-1])["docs_per_sec"]
+            thr[cpus].append(json.loads(line[-1])["docs_per_sec"])
+        best8, best32 = max(thr[8]), max(thr[32])
         result["scaling"] = {
-            "docs_per_sec_8cpu": thr[8],
-            "docs_per_sec_32cpu": thr[32],
-            "efficiency_8_to_32": round((thr[32] / thr[8]) / 4, 3),
+            "docs_per_sec_8cpu": best8,
+            "docs_per_sec_32cpu": best32,
+            "efficiency_8_to_32": round((best32 / best8) / 4, 3),
             "n_pages": N_PAGES_SCALING,
-            "runs_per_level": 1,
+            "runs_per_level": len(thr[8]),
         }
     except Exception as ex:  # scaling evidence is best-effort in the bench
         result["scaling"] = {"error": str(ex)[:200]}

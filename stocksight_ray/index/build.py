@@ -279,7 +279,7 @@ def build_index(
         # autoscaling pool: start small (cheap for small inputs), grow to
         # cpus-2 so read / shuffle / write stages aren't starved
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        tokenize_concurrency = (1, max(2, cpus - 2))
+        tokenize_concurrency = (1 if cpus <= 4 else 2, max(2, cpus - 2))
     tokenize_kwargs = dict(
         fn_constructor_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",

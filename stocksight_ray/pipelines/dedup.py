@@ -638,17 +638,18 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                 rng = np.random.RandomState(seed)
                 self.planes = rng.standard_normal((vecs.shape[1], num_planes))
             signs = (vecs @ self.planes) > 0  # (n, planes)
-            weights = 1 << np.arange(bits_per_band)
-            key_col, id_out = [], []
-            for bi in range(bands):
-                band_bits = signs[:, bi * bits_per_band : (bi + 1) * bits_per_band]
-                band_val = band_bits @ weights
-                for r in range(len(ids)):
-                    key_col.append((bi << 32) | int(band_val[r]))
-                    id_out.append(int(ids[r]))
+            weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+            keys = np.concatenate([
+                (np.int64(bi) << np.int64(32))
+                | (signs[:, bi * bits_per_band : (bi + 1) * bits_per_band]
+                   @ weights)
+                for bi in range(bands)
+            ])
             return pa.table({
-                "band_key": pa.array(key_col, pa.int64()),
-                id_col: pa.array(id_out, pa.int64()),
+                "band_key": pa.array(keys, pa.int64()),
+                id_col: pa.array(
+                    np.tile(ids.astype(np.int64), bands)
+                ),
             })
 
     cands = _candidate_pairs(

@@ -126,15 +126,18 @@ def assign_doc_ids(ds, key: str = "url"):
     return sorted_ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
 
 
-def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
+def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
+                         broadcast_threshold: int = 2_000_000):
     """Fused A1 dedup (newest-wins) + deterministic dense doc_ids, with the
     sort shuffle carrying ONLY (key, ts, 16-byte row key) — never the text.
 
-    Pass 1 (slim sort): project each row to (key, ts, rk=sha1(key|ts|text))
-      and sort by (key asc, ts desc, rk asc).  The global first row of each
-      key group is the keeper; doc_id = rank of key among sorted distinct
-      keys.  The rk tiebreaker makes keeper choice deterministic even for
-      equal (key, ts) pairs.
+    Pass 0: stamp every row with rk = sha1(key|ts|text)[:16] (+ its hash
+      bucket) ONCE, and materialize — the dataset is consumed twice (slim
+      sort + final stamp) and upstream extract/clean must not re-run.
+    Pass 1 (slim sort): sort the (key, ts, rk) projection by (key asc,
+      ts desc, rk asc).  The global first row of each key group is the
+      keeper; doc_id = rank of key among sorted distinct keys.  The rk
+      tiebreaker makes keeper choice deterministic for equal (key, ts).
     Pass 2 (driver, O(#blocks)): per sorted block collect (first_rk,
       first_key, last_key, rows, distinct); blocks arrive from ``take_all``
       in dataset order, so a block whose first_key equals the previous
@@ -143,28 +146,28 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
       group's rows.  Stamping matches blocks back by (first_rk, rows);
       a collision on that composite (only identical rows at a block
       boundary) falls back to the two-shuffle path.
-    Pass 3 (bucketed join): keeper (rk, doc_id) decisions — O(unique keys)
-      rows of 24 B — co-partition with the full rows on a bucket of rk and
-      stamp doc_id back; full-duplicate rows (same key, ts, text) collapse
-      to one via drop_duplicates(rk) inside the co-partitioned merge, which
-      is sound because rk covers every semantic column.
-
-    vs. sorting the full rows: the full text crosses the wire once either
-    way, but through a plain hash exchange instead of a range-partitioned
-    sort (no sample pass, no payload sorting, no range skew), and the sort
-    itself touches ~50 B/row.  ``ds`` is consumed twice (slim + join), so
-    it is materialized first — same object-store footprint as the old
-    full-row sorted materialization, and blocks spill at scale.
+    Pass 3 (stamp ids back).  Keeper decisions are (rk, doc_id) rows,
+      24 B each, one per unique key:
+      * keeper count <= ``broadcast_threshold``: BROADCAST the decision
+        map via ray.put and stamp map-side — no further shuffle, and the
+        result streams straight into downstream stages (no barrier).
+      * larger: co-partition keepers with the full rows on the rk bucket
+        and stamp via an in-Arrow hash join per bucket (full rows cross
+        one hash exchange); output is materialized because fusing this
+        shuffle tail into downstream actor pools can resource-deadlock
+        small sessions.  At 10^12 docs the keeper table is ~24 TB, far
+        past any broadcast — this is the path that shape runs.
+      Either path collapses byte-identical duplicate rows (same key, ts,
+      text ⇒ same rk) to a single output row.
     """
     import hashlib
 
-    ds = ds.materialize()  # consumed twice: slim pass + join pass
     fschema = ds.schema()
     out_cols = list(fschema.names) + ["doc_id"]
     out_types = dict(zip(fschema.names, fschema.types))
     out_types["doc_id"] = pa.int64()
 
-    def _rks(batch: pa.Table):
+    def add_rk(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         urls = batch[key].to_pylist()
         tss = batch[ts].cast(pa.int64()).to_pylist()
@@ -180,18 +183,13 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
             ).digest()
             rks.append(d[:16])
             rkb[i] = int.from_bytes(d[:4], "big") % DEDUP_BUCKETS
-        return rks, rkb
+        return batch.append_column("rk", pa.array(rks, pa.binary())) \
+                    .append_column("_rb", pa.array(rkb))
 
-    def slim(batch: pa.Table) -> pa.Table:
-        rks, _ = _rks(batch)
-        return pa.table({
-            key: batch[key],
-            ts: batch[ts],
-            "rk": pa.array(rks, pa.binary()),
-        })
+    stamped = ds.map_batches(add_rk, batch_format="pyarrow").materialize()
 
     sorted_slim = (
-        ds.map_batches(slim, batch_format="pyarrow")
+        stamped.select_columns([key, ts, "rk"])
         .sort([key, ts, "rk"], descending=[False, True, False])
         .materialize()
     )
@@ -200,18 +198,24 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
         if batch.num_rows == 0:
             return pa.table({
                 "first_rk": pa.nulls(0, pa.binary()),
+                "last_rk": pa.nulls(0, pa.binary()),
                 "first": pa.nulls(0, pa.string()),
                 "last": pa.nulls(0, pa.string()),
                 "n": pa.nulls(0, pa.int64()),
                 "uniq": pa.nulls(0, pa.int64()),
+                "dups": pa.nulls(0, pa.int64()),
             })
         keys = batch[key].to_pylist()
+        rks = np.asarray(batch["rk"].to_pylist(), dtype=object)
+        dups = int((rks[1:] == rks[:-1]).sum()) if len(rks) > 1 else 0
         return pa.table({
             "first_rk": pa.array([batch["rk"][0].as_py()], pa.binary()),
+            "last_rk": pa.array([batch["rk"][-1].as_py()], pa.binary()),
             "first": pa.array([keys[0]], pa.string()),
             "last": pa.array([keys[-1]], pa.string()),
             "n": pa.array([batch.num_rows], pa.int64()),
             "uniq": pa.array([len(set(keys))], pa.int64()),
+            "dups": pa.array([dups], pa.int64()),
         })
 
     metas = sorted_slim.map_batches(
@@ -221,9 +225,13 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
     offsets = {}
     collision = False
     acc = 0
+    has_dup_rk = False
     prev_last = None
+    prev_last_rk = None
     for m in metas:
         cont = prev_last is not None and m["first"] == prev_last
+        if m["dups"] or (prev_last_rk is not None and m["first_rk"] == prev_last_rk):
+            has_dup_rk = True  # byte-identical rows exist somewhere
         k = (m["first_rk"], m["n"])
         if k in offsets:
             collision = True
@@ -231,8 +239,11 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
         offsets[k] = (acc, cont)
         acc += m["uniq"] - (1 if cont else 0)
         prev_last = m["last"]
+        prev_last_rk = m["last_rk"]
     if collision:  # identical rows straddling a block boundary
-        return assign_doc_ids(dedup_newest_wins(ds), key)
+        return assign_doc_ids(
+            dedup_newest_wins(stamped.drop_columns(["rk", "_rb"])), key
+        )
 
     def stamp_keepers(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -260,13 +271,42 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
         stamp_keepers, batch_format="pyarrow", batch_size=None
     )
 
-    # --- pass 3: bucketed join of keeper (rk, doc_id) onto the full rows ---
+    # ---- pass 3a: broadcast stamp (keeper table fits the object store) ----
+    # Safe only when every rk is globally unique (has_dup_rk False — the
+    # sorted slim pass sees equal rks adjacently, so the per-block dups
+    # counters + block-boundary check detect ALL byte-identical copies):
+    # a map-side stamp cannot coordinate which physical copy survives, the
+    # co-partitioned path below can.
+    if acc <= broadcast_threshold and not has_dup_rk:
+        import ray
+
+        kdf = keepers.to_pandas()  # O(unique keys) x 24 B, <= threshold
+        kmap = dict(zip(kdf["rk"], kdf["doc_id"].to_numpy(np.int64)))
+        kref = ray.put(kmap)
+
+        def stamp(batch: pa.Table) -> pa.Table:
+            m = ray.get(kref)
+            rks = batch["rk"].to_pylist()
+            ids = np.empty(len(rks), np.int64)
+            keep = np.zeros(len(rks), bool)
+            for i, r in enumerate(rks):
+                d = m.get(r)
+                if d is not None:
+                    ids[i] = d
+                    keep[i] = True
+            out = batch.filter(pa.array(keep))
+            return out.drop_columns(["rk", "_rb"]).append_column(
+                "doc_id", pa.array(ids[keep])
+            )
+
+        return stamped.map_batches(stamp, batch_format="pyarrow")
+
+    # ---- pass 3b: co-partitioned stamp (keeper table too big to ship) ----
     def pad_full(batch: pa.Table) -> pa.Table:
-        rks, rkb = _rks(batch)
         cols = {c: batch[c] for c in fschema.names}
-        cols["rk"] = pa.array(rks, pa.binary())
+        cols["rk"] = batch["rk"]
         cols["doc_id"] = pa.nulls(batch.num_rows, pa.int64())
-        cols["_rb"] = pa.array(rkb)
+        cols["_rb"] = batch["_rb"]
         cols["_tag"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
         return pa.table(cols)
 
@@ -284,7 +324,7 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
         cols["_tag"] = pa.array(np.ones(n, dtype=np.int8))
         return pa.table(cols)
 
-    unioned = ds.map_batches(pad_full, batch_format="pyarrow").union(
+    unioned = stamped.map_batches(pad_full, batch_format="pyarrow").union(
         keepers.map_batches(pad_keep, batch_format="pyarrow")
     )
 
@@ -309,8 +349,7 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts"):
             j = j.take(pa.array(keep_idx, pa.int64()))
         return j.select(out_cols)
 
-    # materialize: id assignment is a pipeline barrier by nature (global
-    # rank), and fusing the union/sort/join tail into downstream actor-pool
+    # materialize: fusing the union/sort/join tail into downstream actor-pool
     # stages can resource-deadlock small sessions (pools' reserved CPUs
     # starve the pad/stamp tasks).  Blocks spill at scale.
     return (
@@ -417,7 +456,7 @@ def ingest_webtext(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         # autoscaling pool: small floor (fast start on small inputs), ceiling
         # sized to the node so the stage can saturate when blocks are many
-        enrich_concurrency = (1, max(2, cpus - 2))
+        enrich_concurrency = (1 if cpus <= 4 else 2, max(2, cpus - 2))
 
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(clean_filter_batch, batch_format="pyarrow", batch_size=batch_size)

@@ -201,3 +201,64 @@ def synth_binary_table(n: int, seed: int = 3, payload_bytes: int = 256) -> pa.Ta
             "meta": pa.array(metas, pa.string()),
         }
     )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: payload binary → resized pixel array (flattened
+    uint8 list column + out_w/out_h).  The decode is the stub (no image
+    libs in this environment, module docstring); the RESIZE itself is a
+    real vectorized block-mean / nearest-neighbor kernel over the decoded
+    (H, W, C) array, so the Ray-side contract — schema, batch size, actor
+    state in __init__, deterministic output — is fully exercised."""
+
+    def __init__(self, out_w: int = 4, out_h: int = 4,
+                 decoder: Optional[Callable[[bytes], np.ndarray]] = None):
+        self.decode = decoder or fake_decode_image
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w, c = img.shape
+        if h % self.out_h == 0 and w % self.out_w == 0:
+            # exact block mean (antialiased downscale)
+            return (
+                img.reshape(self.out_h, h // self.out_h,
+                            self.out_w, w // self.out_w, c)
+                .mean(axis=(1, 3))
+                .astype(np.uint8)
+            )
+        # nearest neighbor for non-divisible targets
+        yi = (np.arange(self.out_h) * h // self.out_h)
+        xi = (np.arange(self.out_w) * w // self.out_w)
+        return img[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = []
+        for payload in batch["payload"].to_pylist():
+            try:
+                img = self.decode(payload)
+                pixels.append(self._resize(img).reshape(-1).tolist())
+            except Exception:
+                pixels.append(None)
+        n = batch.num_rows
+        return pa.table({
+            "id": batch["id"],
+            "pixels": pa.array(pixels, pa.list_(pa.uint8())),
+            "out_w": pa.array([self.out_w] * n, pa.int32()),
+            "out_h": pa.array([self.out_h] * n, pa.int32()),
+        })
+
+
+def resize_images(ds, *, out_w: int = 4, out_h: int = 4, concurrency: int = 4,
+                  batch_size: int = DEFAULT_BINARY_BATCH,
+                  decoder: Optional[Callable] = None):
+    """payload binary → resized pixels; actor pool, small binary batches."""
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={
+            "out_w": out_w, "out_h": out_h, "decoder": decoder,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

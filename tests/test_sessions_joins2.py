@@ -126,3 +126,60 @@ def test_mix_sources_rates(ray_session):
     # deterministic: same call again gives identical rows
     out2 = mix_sources(rd.from_arrow(t), {"a": 100, "b": 10}).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_resize_images_stage(ray_session):
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.multimodal import (
+        fake_decode_image, resize_images, synth_binary_table,
+    )
+
+    t = synth_binary_table(20)
+    out = (
+        resize_images(rd.from_arrow(t), out_w=4, out_h=4, concurrency=2)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert len(out) == 20
+    assert all(len(p) == 4 * 4 * 3 for p in out["pixels"])
+    # deterministic: block-mean of the stub-decoded 8x8x3 image
+    img = fake_decode_image(t["payload"][0].as_py())
+    exp = img.reshape(4, 2, 4, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+    assert list(out.loc[0, "pixels"]) == exp.reshape(-1).tolist()
+
+
+def test_dedup_ids_shuffle_path_and_dup_rows(ray_session):
+    """Force the co-partitioned stamp path (broadcast_threshold=0) and
+    check byte-identical duplicate rows collapse to ONE output row on both
+    paths (the broadcast path must auto-detect them and reroute)."""
+    from datetime import datetime
+
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import dedup_and_assign_ids
+
+    base = datetime(2023, 5, 1)
+    rows = [
+        ("https://a/", base, "text a"),
+        ("https://a/", base, "text a"),       # byte-identical copy
+        ("https://b/", base, "text b"),
+        ("https://b/", datetime(2023, 5, 2), "text b newer"),
+        ("https://c/", base, "text c"),
+    ]
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    for nb in (1, 3):
+        for thresh in (0, 10**6):  # forced-shuffle and broadcast-eligible
+            out = (
+                dedup_and_assign_ids(
+                    rd.from_arrow(t).repartition(nb),
+                    broadcast_threshold=thresh,
+                )
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            assert list(out["url"]) == ["https://a/", "https://b/", "https://c/"], (nb, thresh)
+            assert list(out["doc_id"]) == [0, 1, 2], (nb, thresh)
+            assert out.loc[1, "text"] == "text b newer", (nb, thresh)

@@ -750,7 +750,11 @@ def q38_uniq_users_daily(sf_dir: str):
         return pa.table({"bucket": bucket, "user_id": batch["user_id"]})
 
     ds = _events(sf_dir).map_batches(bucketize, batch_format="pyarrow")
-    return count_distinct(ds, "bucket", "user_id", out="uniq_users")
+    # ~30 daily buckets — final_partitions keeps the last groupby free of
+    # empty sort partitions (silences Ray's schemaless-empty warnings)
+    return count_distinct(
+        ds, "bucket", "user_id", out="uniq_users", final_partitions=8
+    )
 
 
 def q39_quantile_sketch(sf_dir: str):

@@ -80,8 +80,16 @@ def run_ingest_index(corpus_dir: str, index_dir: str) -> dict:
     from stocksight_ray.index.build import build_index
     from stocksight_ray.pipelines.ingest import ingest_webtext
 
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     t0 = time.time()
-    ds = rd.read_parquet(corpus_dir, columns=["url", "warc_ts", "html", "lang"])
+    # block count tracks the session size: the corpus ships in ~25 files and
+    # the heavy extract/clean/enrich chain inherits read parallelism
+    ds = rd.read_parquet(
+        corpus_dir, columns=["url", "warc_ts", "html", "lang"],
+        override_num_blocks=max(2 * cpus, 25),
+    )
     enriched = ingest_webtext(ds)
     docs = enriched.drop_columns(["tokens"]).materialize()
     n_docs = docs.count()
@@ -196,7 +204,7 @@ def main_bench() -> None:
     # swing 2-3x with background load); a second pair is skipped if the
     # first already cost > 300 s.
     try:
-        thr = {8: [], 32: []}
+        runs = {8: [], 32: []}
         t_scale = time.time()
         for i, cpus in enumerate((8, 32, 8, 32)):
             if i == 2 and time.time() - t_scale > 300:
@@ -208,14 +216,22 @@ def main_bench() -> None:
                 timeout=900,
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-            thr[cpus].append(json.loads(line[-1])["docs_per_sec"])
-        best8, best32 = max(thr[8]), max(thr[32])
+            runs[cpus].append(json.loads(line[-1]))
+        best8 = max(r["docs_per_sec"] for r in runs[8])
+        best32 = max(r["docs_per_sec"] for r in runs[32])
+        idx8 = max(r["index_docs_per_sec"] for r in runs[8])
+        idx32 = max(r["index_docs_per_sec"] for r in runs[32])
         result["scaling"] = {
             "docs_per_sec_8cpu": best8,
             "docs_per_sec_32cpu": best32,
+            # end-to-end (ingest+index) — conservative headline
             "efficiency_8_to_32": round((best32 / best8) / 4, 3),
+            # the north-rule metric proper: INDEX-BUILD stage throughput
+            "index_docs_per_sec_8cpu": idx8,
+            "index_docs_per_sec_32cpu": idx32,
+            "index_efficiency_8_to_32": round((idx32 / idx8) / 4, 3),
             "n_pages": N_PAGES_SCALING,
-            "runs_per_level": len(thr[8]),
+            "runs_per_level": len(runs[8]),
         }
     except Exception as ex:  # scaling evidence is best-effort in the bench
         result["scaling"] = {"error": str(ex)[:200]}
@@ -267,9 +283,10 @@ def main_scaling() -> None:
     best = {
         c: max(results[c], key=lambda r: r["docs_per_sec"]) for c in (8, 32)
     }
-    results = best
-    thr8 = results[8]["docs_per_sec"]
-    thr32 = results[32]["docs_per_sec"]
+    thr8 = best[8]["docs_per_sec"]
+    thr32 = best[32]["docs_per_sec"]
+    idx8 = max(r["index_docs_per_sec"] for r in results[8])
+    idx32 = max(r["index_docs_per_sec"] for r in results[32])
     eff = (thr32 / thr8) / (32 / 8)
     out = {
         "metric": "scaling efficiency N=8 -> 4N=32 cpus (webtext ingest+index)",
@@ -278,8 +295,11 @@ def main_scaling() -> None:
         "queries": {
             "docs_per_sec_8cpu": thr8,
             "docs_per_sec_32cpu": thr32,
-            "total_sec_8cpu": results[8]["total_sec"],
-            "total_sec_32cpu": results[32]["total_sec"],
+            "total_sec_8cpu": best[8]["total_sec"],
+            "total_sec_32cpu": best[32]["total_sec"],
+            "index_docs_per_sec_8cpu": idx8,
+            "index_docs_per_sec_32cpu": idx32,
+            "index_efficiency_8_to_32": round((idx32 / idx8) / 4, 3),
         },
         "sf": SF,
         "num_cpus": [8, 32],

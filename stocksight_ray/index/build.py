@@ -276,10 +276,10 @@ def build_index(
     if tokenize_concurrency is None:
         import ray
 
-        # autoscaling pool: start small (cheap for small inputs), grow to
-        # cpus-2 so read / shuffle / write stages aren't starved
+        # FIXED pool on real sessions (eager actor start); tiny sessions
+        # autoscale from 1 so the pool can't starve task operators
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        tokenize_concurrency = (1 if cpus <= 4 else 2, max(2, cpus - 2))
+        tokenize_concurrency = (1, max(2, cpus - 2)) if cpus <= 4 else max(2, cpus - 2)
     tokenize_kwargs = dict(
         fn_constructor_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",

@@ -164,13 +164,20 @@ def exact_median(ds, col: str) -> float:
     return float(sum(vals) / len(vals))
 
 
-def count_distinct(ds, by: str, key: str, out: str = "uniq"):
+def count_distinct(ds, by: str, key: str, out: str = "uniq",
+                   final_partitions: Optional[int] = None):
     """Exact distinct-count of ``key`` per ``by`` group.
 
     Two pre-reduced stages: local unique (by, key) pairs inside map_batches
     → groupby([by, key]) collapses global duplicates → local pair counts
     per by → groupby(by) sums.  Shuffle volume is bounded by the DISTINCT
-    pair cardinality, not the row count."""
+    pair cardinality, not the row count.
+
+    ``final_partitions``: pass a small value (≤ the number of distinct
+    ``by`` values) when that count is known small — the final groupby then
+    has no empty sort partitions, which silences Ray's schemaless-empty-
+    block RefBundle warnings (cosmetic, but they pollute logs at scale).
+    Leave None when ``by`` cardinality is large."""
     from ray.data.aggregate import Count, Sum
 
     def local_pairs(batch: pa.Table) -> pa.Table:
@@ -188,11 +195,10 @@ def count_distinct(ds, by: str, key: str, out: str = "uniq"):
         g = pa.TableGroupBy(batch.select([by]), by).aggregate([([], "count_all")])
         return g.rename_columns([by, "partial"])
 
-    return (
-        pairs.map_batches(local_counts, batch_format="pyarrow")
-        .groupby(by)
-        .aggregate(Sum("partial", alias_name=out))
-    )
+    partials = pairs.map_batches(local_counts, batch_format="pyarrow")
+    if final_partitions:
+        partials = partials.repartition(final_partitions)
+    return partials.groupby(by).aggregate(Sum("partial", alias_name=out))
 
 
 def approx_count_distinct(ds, key: str, p: int = 12) -> float:

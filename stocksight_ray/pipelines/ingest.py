@@ -454,9 +454,10 @@ def ingest_webtext(
 
     if enrich_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        # autoscaling pool: small floor (fast start on small inputs), ceiling
-        # sized to the node so the stage can saturate when blocks are many
-        enrich_concurrency = (1 if cpus <= 4 else 2, max(2, cpus - 2))
+        # FIXED pool sized to the node on real sessions (all actors start
+        # eagerly — autoscaling ramp cost ~2s per stage); tiny test sessions
+        # autoscale from 1 so pools can't starve upstream task operators
+        enrich_concurrency = (1, max(2, cpus - 2)) if cpus <= 4 else max(2, cpus - 2)
 
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(clean_filter_batch, batch_format="pyarrow", batch_size=batch_size)

@@ -141,7 +141,7 @@ def news_pipeline(
 
     if enrich_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        enrich_concurrency = (1 if cpus <= 4 else 2, max(2, cpus - 2))
+        enrich_concurrency = (1, max(2, cpus - 2)) if cpus <= 4 else max(2, cpus - 2)
 
     ds = ds.map_batches(headlines_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = dedup_headlines(ds)

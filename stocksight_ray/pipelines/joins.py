@@ -72,7 +72,9 @@ def asof_join(
 
     lpad = left.map_batches(pad_left, batch_format="pyarrow")
     rpad = right.map_batches(pad_right, batch_format="pyarrow")
-    both = lpad.union(rpad)
+    both = lpad.union(rpad).map_batches(
+        _key_bucketizer(by, 256), batch_format="pyarrow"
+    )
 
     out_cols = [c for c in left_cols if c != left_ts] + [right_value]
     # The null-padded union coerces int64 left columns to float64 once the
@@ -81,9 +83,12 @@ def asof_join(
     out_types = {c: left_types.get(c, pa.float64()) for c in out_cols}
     out_types[right_value] = pa.float64()
 
+    # groups are key-hash BUCKETS (a fixed 256 of them), not individual
+    # keys: pd.merge_asof(by=...) runs the per-key as-of vectorized across
+    # every key in the bucket — high-cardinality keys cost no extra tasks
     def merge(group: pd.DataFrame) -> pa.Table:
-        l = group[group["_side"] == 0].sort_values("_ts", kind="stable")
-        r = group[group["_side"] == 1].sort_values("_ts", kind="stable")
+        l = group[group["_side"] == 0].sort_values(["_ts", by], kind="stable")
+        r = group[group["_side"] == 1].sort_values(["_ts", by], kind="stable")
         if l.empty or (r.empty and inner):
             j = pd.DataFrame({c: [] for c in out_cols})
         elif r.empty:
@@ -91,8 +96,9 @@ def asof_join(
         else:
             j = pd.merge_asof(
                 l.drop(columns=[right_value]),
-                r[["_ts", right_value]],
+                r[["_ts", by, right_value]],
                 on="_ts",
+                by=by,
                 direction="backward",
                 allow_exact_matches=True,
             )
@@ -100,7 +106,27 @@ def asof_join(
                 j = j[j[right_value].notna()]
         return _cast_frame(j, out_cols, out_types)
 
-    return both.groupby(by).map_groups(merge, batch_format="pandas")
+    return both.groupby("_kb").map_groups(merge, batch_format="pandas")
+
+
+def _key_bucketizer(col: str, num_buckets: int):
+    """Append `_kb` = hash bucket of ``col`` (int: low bits; other: crc32)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keys = batch[col]
+        if pa.types.is_integer(keys.type):
+            b = pc.cast(pc.bit_wise_and(keys, num_buckets - 1), pa.int32())
+        else:
+            import zlib
+
+            b = pa.array(
+                [zlib.crc32(str(k).encode()) % num_buckets
+                 for k in keys.to_pylist()],
+                pa.int32(),
+            )
+        return batch.append_column("_kb", b)
+
+    return bucketize
 
 
 def _cast_frame(df: pd.DataFrame, cols: Sequence[str], types: dict) -> pa.Table:
@@ -235,16 +261,28 @@ def rolling_mean(
     id_cols: Optional[Sequence[str]] = None,
 ):
     """Per-key trailing-window mean (ROWS BETWEEN window-1 PRECEDING AND
-    CURRENT ROW), ordered by ``order_cols``.  One groupby(key) shuffle,
-    vectorized pandas rolling per group."""
+    CURRENT ROW), ordered by ``order_cols``.  ONE bucketed groupby on a
+    hash of ``key`` (fixed 256 buckets; the per-bucket pandas
+    groupby(key).rolling runs vectorized across every key in the bucket —
+    high-cardinality keys cost no extra tasks)."""
     keep = list(id_cols) if id_cols else None
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(order_cols), kind="stable").copy()
-        g[out] = g[value].rolling(window, min_periods=1).mean()
-        return g[keep + [out]] if keep else g
+        g = g.sort_values([key] + list(order_cols), kind="stable").copy()
+        g[out] = (
+            g.groupby(key, sort=False)[value]
+            .rolling(window, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        cols = (keep + [out]) if keep else [c for c in g.columns if c != "_kb"]
+        return g[cols]
 
-    return ds.groupby(key).map_groups(roll, batch_format="pandas")
+    return (
+        ds.map_batches(_key_bucketizer(key, 256), batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(roll, batch_format="pandas")
+    )
 
 
 def semi_join(

@@ -58,15 +58,18 @@ def _dedup_headline(group: pd.DataFrame) -> pd.DataFrame:
     return g.drop_duplicates("message", keep="first").drop(columns=["_h"])
 
 
-def dedup_headlines(ds):
+def dedup_headlines(ds, num_buckets: int = 256):
     """The reference's in-process ``self.headlines`` list
-    (/root/reference/sentiment.py:272,281-282) as a shuffle: hash(message)
-    partitions, earliest (date, location) wins deterministically."""
+    (/root/reference/sentiment.py:272,281-282) as a shuffle: BUCKET of
+    hash(message) partitions (fixed count — one vectorized pandas dedup per
+    bucket, not one task per distinct headline); earliest (date, location)
+    wins deterministically."""
     import zlib
 
     def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
         batch["_h"] = [
-            zlib.crc32(m.encode()) & 0x7FFFFFFF for m in batch["message"]
+            (zlib.crc32(m.encode()) & 0x7FFFFFFF) % num_buckets
+            for m in batch["message"]
         ]
         return batch
 

@@ -50,14 +50,22 @@ def hash_sample(ds, key_col: str, num: int, den: int):
 
 def stratified_head(ds, strata: str, n: int, order_cols: Sequence[str]):
     """Per-strata cap: the first ``n`` rows of each group in the
-    deterministic (order_cols) order.  One groupby(strata) shuffle."""
+    deterministic (order_cols) order.  One bucketed groupby on a hash of
+    the strata key; the per-bucket cap is one vectorized pandas
+    groupby.head over every stratum in the bucket."""
+    from .joins import _key_bucketizer
 
     cols = list(order_cols)
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(cols, kind="stable").head(n)
+        g = g.sort_values([strata] + cols, kind="stable")
+        return g.groupby(strata, sort=False).head(n).drop(columns=["_kb"])
 
-    return ds.groupby(strata).map_groups(head, batch_format="pandas")
+    return (
+        ds.map_batches(_key_bucketizer(strata, 64), batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(head, batch_format="pandas")
+    )
 
 
 def mix_sources(ds, rates: dict, *, source_col: str = "source",

@@ -29,15 +29,23 @@ def latest_nonnull(ds, key: str, ts: str, value_cols: Sequence[str]):
 
     cols = list(value_cols)
 
+    # bucketed: one task per key-hash bucket, all keys inside a bucket
+    # reduced by ONE vectorized pandas groupby (no per-key Python call)
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="stable")
-        row = {key: [g[key].iloc[0]], f"last_{ts}": [g[ts].iloc[-1]]}
+        g = g.sort_values([key, ts], kind="stable")
+        gb = g.groupby(key, sort=False)
+        out = gb[ts].last().rename(f"last_{ts}").to_frame()
         for c in cols:
-            s = g[c].dropna()
-            row[f"last_{c}"] = [s.iloc[-1] if len(s) else None]
-        return pd.DataFrame(row)
+            out[f"last_{c}"] = gb[c].last()  # pandas last() skips NaN
+        return out.reset_index().drop(columns=["_kb"], errors="ignore")
 
-    return ds.groupby(key).map_groups(pick, batch_format="pandas")
+    from .joins import _key_bucketizer
+
+    return (
+        ds.map_batches(_key_bucketizer(key, 256), batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(pick, batch_format="pandas")
+    )
 
 
 def pct_change_last(ds, key: str, ts: str, col: str):
@@ -45,15 +53,32 @@ def pct_change_last(ds, key: str, ts: str, col: str):
     (reference ``change`` = (last - prev)/prev * 100,
     /root/reference/stockprice.py:78-85).  Output (key, change)."""
 
+    # bucketed + vectorized: last two non-null values per key via a
+    # groupby-tail(2) over one sorted frame (no per-key Python call)
     def chg(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values(ts, kind="stable")[col].dropna()
-        if len(s) >= 2 and s.iloc[-2] != 0:
-            change = (s.iloc[-1] - s.iloc[-2]) / s.iloc[-2] * 100.0
-        else:
-            change = 0.0
-        return pd.DataFrame({key: [g[key].iloc[0]], "change": [float(change)]})
+        g = g.sort_values([key, ts], kind="stable")
+        all_keys = pd.Index(g[key].unique(), name=key)
+        nn = g[g[col].notna()]
+        t2 = (
+            nn.groupby(key, sort=False)
+            .tail(2)
+            .groupby(key, sort=False)[col]
+            .agg(["first", "last", "count"])
+            .reindex(all_keys)
+        )
+        ok = (t2["count"] == 2) & (t2["first"] != 0)
+        change = np.where(
+            ok, (t2["last"] - t2["first"]) / t2["first"] * 100.0, 0.0
+        )
+        return pd.DataFrame({key: all_keys.to_numpy(), "change": change})
 
-    return ds.groupby(key).map_groups(chg, batch_format="pandas")
+    from .joins import _key_bucketizer
+
+    return (
+        ds.map_batches(_key_bucketizer(key, 256), batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(chg, batch_format="pandas")
+    )
 
 
 def ohlc_bucket(ds, key: str, ts: str, price_col: str, interval_sec: int = 7200,

@@ -183,3 +183,79 @@ def test_dedup_ids_shuffle_path_and_dup_rows(ray_session):
             assert list(out["url"]) == ["https://a/", "https://b/", "https://c/"], (nb, thresh)
             assert list(out["doc_id"]) == [0, 1, 2], (nb, thresh)
             assert out.loc[1, "text"] == "text b newer", (nb, thresh)
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure kernels, no Ray)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scores = st.floats(min_value=-1, max_value=1, allow_nan=False)
+_labels = st.sampled_from(["positive", "negative", "neutral"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pol=_scores, sub=st.floats(min_value=0, max_value=1, allow_nan=False),
+    sen=_labels,
+    links=st.lists(st.tuples(_scores, _scores, _labels), max_size=6),
+)
+def test_fold_link_scores_matches_reference_transcription(pol, sub, sen, links):
+    """Property: fold_link_scores == a literal transcription of the
+    reference loop (/root/reference/sentiment.py:201-222)."""
+    from stocksight_ray.pipelines.linkfold import fold_link_scores
+
+    # verbatim reference semantics
+    r_pol, r_sub, r_sen = pol, sub, sen
+    urls_pol = 0
+    urls_sub = 0
+    for lp, ls, lsen in links:
+        urls_pol = (urls_pol + lp) / 2
+        urls_sub = (urls_sub + ls) / 2
+        if r_sen == "positive" or lsen == "positive":
+            r_sen = "positive"
+        elif r_sen == "negative" or lsen == "negative":
+            r_sen = "negative"
+        else:
+            r_sen = "neutral"
+    if links:
+        if urls_pol > 0:
+            r_pol = (r_pol + urls_pol) / 2
+        if urls_sub > 0:
+            r_sub = (r_sub + urls_sub) / 2
+
+    got = fold_link_scores(pol, sub, sen, links)
+    assert got == (r_pol, r_sub, r_sen)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+    )
+)
+def test_repetition_stats_property(texts):
+    """Property: repetition stats equal a direct per-doc computation."""
+    from stocksight_ray.functions.textstats import repetition_stats_batch
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = repetition_stats_batch(t).to_pandas()
+    for i, txt in enumerate(texts):
+        words = txt.split(" ") if txt else []
+        assert out.loc[i, "n_words"] == len(words)
+        assert out.loc[i, "n_distinct_words"] == len(set(words))
+        if words:
+            from collections import Counter
+
+            assert out.loc[i, "top_word_frac"] == Counter(words).most_common(1)[0][1] / len(words)
+            assert out.loc[i, "max_word_len"] == max(len(w) for w in words)
+            if len(words) > 1:
+                bi = Counter(
+                    words[j] + " " + words[j + 1] for j in range(len(words) - 1)
+                )
+                assert out.loc[i, "top_bigram_frac"] == bi.most_common(1)[0][1] / (len(words) - 1)

@@ -329,7 +329,10 @@ def q18_bm25(sf_dir: str):
 def q19_minhash_dedup(sf_dir: str):
     from stocksight_ray.pipelines.dedup import minhash_keep_ids
 
-    return minhash_keep_ids(_docs(sf_dir), threshold=0.7)
+    # the operator streams unsorted (no corpus-wide sort); the consumed
+    # result is small enough to order here for deterministic output
+    out = minhash_keep_ids(_docs(sf_dir), threshold=0.7).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q20_simhash(sf_dir: str):

@@ -452,11 +452,10 @@ def minhash_keep_ids(ds, text_col="text", id_col="doc_id", **kw):
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(~np.isin(ids, dropped)))
 
-    return (
-        ds.select_columns([id_col])
-        .map_batches(filt, batch_format="pyarrow")
-        .sort(id_col)
-    )
+    # deliberately UNSORTED: a global sort of the keeper id column is an
+    # all-to-all over the whole corpus for cosmetics — callers needing
+    # ordered output sort their (much smaller) consumed result
+    return ds.select_columns([id_col]).map_batches(filt, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

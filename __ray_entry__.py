@@ -999,6 +999,20 @@ def q50_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q51_topk_per_group(sf_dir: str):
+    """Nested aggregation (ES sub-agg): top-5 users by summed value per
+    event_type — pre-reduced sums + bucketed vectorized per-group head."""
+    from stocksight_ray.pipelines.aggs import grouped_topk
+
+    out = grouped_topk(
+        _events(sf_dir), group="event_type", key="user_id", value="value",
+        k=5, out="total_value",
+    ).to_pandas()
+    out = _round_cols(out, {"total_value": 4})
+    return out.sort_values(["event_type", "total_value", "user_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q01_lang_topk": q01_lang_topk,
@@ -1051,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_repetition_stats": q48_repetition_stats,
         "q49_mix_sources": q49_mix_sources,
         "q50_decontaminate": q50_decontaminate,
+        "q51_topk_per_group": q51_topk_per_group,
     }
 
 
@@ -1263,6 +1278,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"
+        ),
+        "q51_topk_per_group": (
+            "SELECT event_type, user_id, round(total, 4) AS total_value FROM ("
+            "  SELECT event_type, user_id, sum(value) AS total, "
+            "  row_number() OVER (PARTITION BY event_type "
+            "    ORDER BY sum(value) DESC, user_id) AS rn "
+            "  FROM events GROUP BY event_type, user_id) "
+            "WHERE rn <= 5 ORDER BY event_type, total DESC, user_id"
         ),
         "q47_props_extract": (
             "SELECT event_type, count(*) AS n, "

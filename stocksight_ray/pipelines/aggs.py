@@ -285,3 +285,41 @@ def approx_quantiles(
             frac = 0.0 if c1 == c0 else (target - c0) / (c1 - c0)
             out.append(float(v[i - 1] + frac * (v[i] - v[i - 1])))
     return out
+
+
+def grouped_topk(ds, group: str, key: str, value: str, k: int,
+                 out: str = "total"):
+    """Top-k ``key`` rows per ``group`` by summed ``value`` (the
+    terms-agg-within-terms-agg nesting ES calls a sub-aggregation).
+
+    Pre-reduce inside map_batches → ONE groupby([group, key]) for exact
+    sums (shuffle bounded by distinct pair cardinality) → bucketed
+    groupby on a hash of ``group`` where one vectorized pandas
+    sort+head(k) ranks every group in the bucket.  Ties break
+    deterministically by (value desc, key asc)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import _key_bucketizer
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            batch.select([group, key, value]), [group, key]
+        ).aggregate([(value, "sum")])
+        return g.rename_columns([group, key, "_p"])
+
+    totals = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby([group, key])
+        .aggregate(Sum("_p", alias_name=out))
+    )
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group, out, key], ascending=[True, False, True],
+                          kind="stable")
+        return g.groupby(group, sort=False).head(k).drop(columns=["_kb"])
+
+    return (
+        totals.map_batches(_key_bucketizer(group, 64), batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(head, batch_format="pandas")
+    )

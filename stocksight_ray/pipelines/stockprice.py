@@ -105,24 +105,26 @@ def ohlc_bucket(ds, key: str, ts: str, price_col: str, interval_sec: int = 7200,
 
     order_cols = [ts] + list(tiebreak_cols)
 
+    # bucketed on a hash of ``key``: one vectorized pandas groupby covers
+    # every (key, time-bucket) pair in the hash bucket — no per-pair task.
+    # pandas first/last/max/min skip NaN, matching the non-null OHLC pick.
     def ohlc(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="stable")
-        s = g[price_col].dropna()
-        return pd.DataFrame(
-            {
-                key: [g[key].iloc[0]],
-                "bucket": [g["bucket"].iloc[0]],
-                "open": [s.iloc[0] if len(s) else None],
-                "high": [s.max() if len(s) else None],
-                "low": [s.min() if len(s) else None],
-                "close": [s.iloc[-1] if len(s) else None],
-                "n": [len(g)],
-            }
+        g = g.sort_values([key, "bucket"] + order_cols, kind="stable")
+        gb = g.groupby([key, "bucket"], sort=False)
+        out = gb[price_col].agg(
+            open="first", high="max", low="min", close="last"
         )
+        out["n"] = gb.size()
+        return out.reset_index()[
+            [key, "bucket", "open", "high", "low", "close", "n"]
+        ]
+
+    from .joins import _key_bucketizer
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby([key, "bucket"])
+        .map_batches(_key_bucketizer(key, 256), batch_format="pyarrow")
+        .groupby("_kb")
         .map_groups(ohlc, batch_format="pandas")
     )
 

@@ -259,3 +259,44 @@ def test_repetition_stats_property(texts):
                     words[j] + " " + words[j + 1] for j in range(len(words) - 1)
                 )
                 assert out.loc[i, "top_bigram_frac"] == bi.most_common(1)[0][1] / (len(words) - 1)
+
+
+def test_joins_hot_key_skew(ray_session):
+    """Correctness under pathological key skew: one key owns half the rows.
+    (Perf contract: the hot key lands in one bucket task; salt upstream if
+    a single key's rows exceed task memory — documented in joins.py.)"""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import hash_join, rolling_mean
+
+    n = 20_000
+    keys = np.where(np.arange(n) % 2 == 0, 7, np.arange(n) % 997).astype(np.int64)
+    left = pa.table({
+        "k": pa.array(keys),
+        "v": pa.array(np.arange(n, dtype=np.float64)),
+    })
+    right = pa.table({
+        "k": pa.array(np.arange(997, dtype=np.int64)),
+        "w": pa.array(np.arange(997, dtype=np.float64) * 2),
+    })
+    got = (
+        hash_join(rd.from_arrow(left).repartition(8), rd.from_arrow(right),
+                  on="k", left_cols=["k", "v"], right_cols=["k", "w"])
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    exp = (
+        left.to_pandas().merge(right.to_pandas(), on="k")
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v", "w"]], exp[["k", "v", "w"]])
+
+    rm = rolling_mean(
+        rd.from_arrow(pa.table({
+            "k": pa.array(keys),
+            "ts": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.ones(n, dtype=np.float64)),
+        })).repartition(8),
+        key="k", order_cols=["ts"], value="v", window=3, id_cols=["ts"],
+    ).to_pandas()
+    assert len(rm) == n
+    assert (rm["rmean"] == 1.0).all()

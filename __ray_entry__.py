@@ -999,6 +999,31 @@ def q50_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q52_scrub_pii(sf_dir: str):
+    """Pattern scrubbing (PII-style masking) over the webtext corpus: urls
+    embedded in page text are redacted to <URL> with per-row counts.
+    Deterministic rows-only (package corpus; email/ipv4 patterns covered
+    by unit tests)."""
+    import ray.data as rd
+
+    from stocksight_ray.functions.clean import scrub_batch
+    from stocksight_ray.webtext import generate_table
+
+    ds = rd.from_arrow(generate_table(800, seed=42))
+    out = (
+        ds.map_batches(
+            lambda b: scrub_batch(b, "text"), batch_format="pyarrow"
+        )
+        .select_columns(["url", "n_url", "n_email", "n_ipv4", "text_scrubbed"])
+        .to_pandas()
+    )
+    out["scrub_len"] = out["text_scrubbed"].str.len()
+    return (
+        out.drop(columns=["text_scrubbed"])
+        .sort_values("url").reset_index(drop=True)
+    )
+
+
 def q51_topk_per_group(sf_dir: str):
     """Nested aggregation (ES sub-agg): top-5 users by summed value per
     event_type — pre-reduced sums + bucketed vectorized per-group head."""
@@ -1066,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q49_mix_sources": q49_mix_sources,
         "q50_decontaminate": q50_decontaminate,
         "q51_topk_per_group": q51_topk_per_group,
+        "q52_scrub_pii": q52_scrub_pii,
     }
 
 

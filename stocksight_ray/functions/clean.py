@@ -91,3 +91,40 @@ def extract_urls_batch(batch: pa.Table, col: str = "text") -> pa.Table:
         "n_urls",
         pa.array(np.fromiter((len(u) for u in urls), np.int64, len(urls))),
     )
+
+
+# ---------------------------------------------------------------------------
+# pattern scrubbing (PII-style masking — standard corpus-curation step)
+# ---------------------------------------------------------------------------
+
+SCRUB_PATTERNS = {
+    "email": re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    "url": re.compile(r"https?://[^\s]+"),
+    "ipv4": re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+}
+
+
+def scrub_batch(batch: pa.Table, col: str = "text", out: str = "text_scrubbed",
+                patterns: dict = None) -> pa.Table:
+    """Mask every occurrence of each named pattern with ``<NAME>`` and count
+    redactions per row/pattern.  Compiled patterns are module constants
+    (compile-once); the kernel is a per-row re.sub chain over the batch —
+    pattern masking is inherently per-string, but allocation stays batched
+    and the output columns are typed (n_<name>: int64)."""
+    import numpy as np
+
+    pats = patterns or SCRUB_PATTERNS
+    texts = batch[col].to_pylist()
+    n = len(texts)
+    counts = {name: np.zeros(n, np.int64) for name in pats}
+    scrubbed = []
+    for i, t in enumerate(texts):
+        s = t or ""
+        for name, rx in pats.items():
+            s, c = rx.subn(f"<{name.upper()}>", s)
+            counts[name][i] = c
+        scrubbed.append(s)
+    batch = batch.append_column(out, pa.array(scrubbed, pa.string()))
+    for name in pats:
+        batch = batch.append_column(f"n_{name}", pa.array(counts[name]))
+    return batch

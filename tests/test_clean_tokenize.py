@@ -97,3 +97,27 @@ def test_vectorized_clean_matches_row_on_unicode_whitespace():
     ):
         assert v == clean_text(t)
         assert sv == clean_text_sentiment(t)
+
+
+def test_scrub_batch_masks_and_counts():
+    import pyarrow as pa
+
+    from stocksight_ray.functions.clean import scrub_batch
+
+    t = pa.table({
+        "text": pa.array([
+            "contact me at bob@example.com or https://x.test/page now",
+            "server 192.168.0.1 and 10.0.0.255 responded",
+            "no sensitive content here",
+            None,
+        ], pa.string()),
+    })
+    out = scrub_batch(t)
+    s = out["text_scrubbed"].to_pylist()
+    assert s[0] == "contact me at <EMAIL> or <URL> now"
+    assert s[1] == "server <IPV4> and <IPV4> responded"
+    assert s[2] == "no sensitive content here"
+    assert s[3] == ""
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_url"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0]

@@ -31,10 +31,15 @@ _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 _PUNCT_RE = "[.,!?;:]"
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns=None):
+    """documents table; pass ``columns`` to prune at the READ for
+    map_batches consumers (select_columns pushdown only reaches the read
+    for relational operators, not opaque batch functions)."""
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
 
 
 def _events(sf_dir: str):
@@ -56,13 +61,13 @@ def _round_cols(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
 def q01_lang_topk(sf_dir: str):
     from stocksight_ray.pipelines.aggs import terms_topk
 
-    return terms_topk(_docs(sf_dir), "lang", k=5)
+    return terms_topk(_docs(sf_dir, ["lang"]), "lang", k=5)
 
 
 def q02_token_topk(sf_dir: str):
     from stocksight_ray.pipelines.aggs import token_topk
 
-    return token_topk(_docs(sf_dir), "text", k=25)
+    return token_topk(_docs(sf_dir, ["text"]), "text", k=25)
 
 
 def q03_text_counts(sf_dir: str):
@@ -105,14 +110,14 @@ def q06_admission(sf_dir: str):
 def q07_metric_nchars(sf_dir: str):
     from stocksight_ray.pipelines.aggs import metric_aggs
 
-    df = metric_aggs(_docs(sf_dir), "n_chars")
+    df = metric_aggs(_docs(sf_dir, ["n_chars"]), "n_chars")
     return _round_cols(df, {"avg_n_chars": 6})
 
 
 def q08_median_nchars(sf_dir: str):
     from stocksight_ray.pipelines.aggs import exact_median
 
-    med = exact_median(_docs(sf_dir), "n_chars")
+    med = exact_median(_docs(sf_dir, ["n_chars"]), "n_chars")
     return pd.DataFrame([{"median_n_chars": float(med)}])
 
 
@@ -331,7 +336,9 @@ def q19_minhash_dedup(sf_dir: str):
 
     # the operator streams unsorted (no corpus-wide sort); the consumed
     # result is small enough to order here for deterministic output
-    out = minhash_keep_ids(_docs(sf_dir), threshold=0.7).to_pandas()
+    out = minhash_keep_ids(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.7
+    ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -344,7 +351,7 @@ def q20_simhash(sf_dir: str):
             {"doc_id": batch["doc_id"], "simhash": pa.array(hs, pa.int64())}
         )
 
-    return _docs(sf_dir).map_batches(add, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(add, batch_format="pyarrow")
 
 
 def q21_fingerprint(sf_dir: str):
@@ -386,7 +393,9 @@ def q23_sentiment(sf_dir: str):
                 }
             )
 
-    return _docs(sf_dir).map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=2
+    )
 
 
 def q24_ivf_knn(sf_dir: str):

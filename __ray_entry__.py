@@ -135,25 +135,59 @@ def q10_event_type_topk(sf_dir: str):
 
 
 def q11_last_value_per_user(sf_dir: str):
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "last_value": [g["value"].iloc[-1]]}
-        )
+    """K2 latest-value pick — bucketed: one vectorized pandas groupby per
+    key-hash bucket (no per-user task)."""
+    from stocksight_ray.pipelines.joins import _key_bucketizer
 
-    return _events(sf_dir).groupby("user_id").map_groups(pick, batch_format="pandas")
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = (
+            g.groupby("user_id", sort=False)["value"]
+            .nth(-1)  # last ROW's value (not last non-null)
+            .rename("last_value")
+        )
+        return pd.DataFrame({
+            "user_id": g.loc[out.index, "user_id"].to_numpy(),
+            "last_value": out.to_numpy(),
+        })
+
+    return (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts", "event_id", "value"])
+        .map_batches(_key_bucketizer("user_id", 256), batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(pick, batch_format="pandas")
+    )
 
 
 def q12_pct_change_per_user(sf_dir: str):
-    def chg(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values(["ts", "event_id"], kind="stable")["value"]
-        if len(s) >= 2 and s.iloc[-2] != 0:
-            c = (s.iloc[-1] - s.iloc[-2]) / s.iloc[-2] * 100.0
-        else:
-            c = 0.0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "change": [round(float(c), 6)]})
+    """P8 pct-change of the last two values per user — bucketed and
+    vectorized via groupby.tail(2)."""
+    from stocksight_ray.pipelines.joins import _key_bucketizer
 
-    return _events(sf_dir).groupby("user_id").map_groups(chg, batch_format="pandas")
+    def chg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        t2 = (
+            g.groupby("user_id", sort=False)
+            .tail(2)
+            .groupby("user_id", sort=False)["value"]
+            .agg(["first", "last", "count"])
+        )
+        ok = (t2["count"] == 2) & (t2["first"] != 0)
+        change = np.where(
+            ok, (t2["last"] - t2["first"]) / t2["first"] * 100.0, 0.0
+        ).round(6)
+        return pd.DataFrame({
+            "user_id": t2.index.to_numpy(), "change": change,
+        })
+
+    return (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts", "event_id", "value"])
+        .map_batches(_key_bucketizer("user_id", 256), batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(chg, batch_format="pandas")
+    )
 
 
 def q13_lineitem_pricing(sf_dir: str):

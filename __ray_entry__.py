@@ -461,10 +461,11 @@ def q25_image_features(sf_dir: str):
 
     t = synth_binary_table(200)
     out = image_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    # scalar encoding of the vector so the result is sortable/hashable
     out["features"] = out["features"].map(
-        lambda f: [round(float(x), 5) for x in f]
+        lambda f: ",".join(f"{float(x):.5f}" for x in f)
     )
-    return out
+    return out.sort_values("id").reset_index(drop=True)
 
 
 def q26_webtext_ingest(sf_dir: str):
@@ -1296,6 +1297,23 @@ def oracle_sql() -> dict[str, str]:
         "q22_lang_id": (
             f"SELECT doc_id, lang_pred FROM read_parquet('{golden}/q22_lang_id_sf001.parquet')"
         ),
+        # golden oracles for the remaining deterministic non-SQL pipelines —
+        # each verified session-independent (scripts/check_determinism.py:
+        # identical content hash in fresh 4- and 16-cpu sessions) before
+        # pinning; regenerate deliberately via scripts/make_goldens.py.
+        # q39 stays rows-only by design (its per-block quantile summaries
+        # depend on block boundaries).
+        **{
+            name: f"SELECT * FROM read_parquet('{golden}/{name}_sf001.parquet')"
+            for name in (
+                "q18_bm25", "q19_minhash_dedup", "q23_sentiment",
+                "q24_ivf_knn", "q25_image_features", "q26_webtext_ingest",
+                "q27_news_headlines", "q28_sentiment_dashboard",
+                "q31_url_extract", "q32_prices_pipeline", "q37_bm25_modes",
+                "q40_hll_distinct", "q41_pack_sequences",
+                "q44_link_score_fold", "q52_scrub_pii",
+            )
+        },
         "q45_sessionize": (
             "WITH e AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w "
             "IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 "

@@ -115,11 +115,15 @@ def train_centroids(ds, nlist: int = 16, vec_col: str = "embedding",
 
     n = ds.count()
     den = max(1, n // sample_n)
+    # NO limit() after the filter: limit takes the first rows in dataset
+    # order, which depends on block boundaries (and thus session
+    # parallelism) — the hash-filtered SET (~sample_n rows in expectation)
+    # is deterministic regardless of partitioning.  Sort by id so the
+    # kmeans input order is fixed too.
     sample = (
         hash_sample(ds.select_columns([id_col, vec_col]), id_col, 1, den)
-        .limit(sample_n)
-        .select_columns([vec_col])
         .to_pandas()
+        .sort_values(id_col)
     )
     x = _normalize(np.asarray(list(sample[vec_col]), dtype=np.float64))
     rng = np.random.RandomState(seed)

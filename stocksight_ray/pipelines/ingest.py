@@ -517,3 +517,69 @@ def ingest_webtext(
 
         return rd2.read_parquet(os.path.join(out_dir, "docs"))
     return ds
+
+
+def write_docs_resumable(docs, out_dir: str, *, shard_docs: int = 4096,
+                         id_col: str = "doc_id"):
+    """Resumable partitioned docs sink: one directory per doc_id range with
+    an atomic per-shard commit marker — a re-run after a crash SKIPS every
+    committed shard and writes only the missing ranges (same contract as
+    the index segment builder; assumes the same input on resume, which the
+    deterministic id assignment guarantees for identical corpora).
+
+    Layout:  out_dir/docs_shards/shard=K/*.parquet + _SUCCESS.K markers
+    (markers are _-prefixed so parquet dataset discovery ignores them).
+    Returns a summary dict (shards written / skipped).
+    """
+    import json
+    import os
+    import shutil
+    import time
+
+    import ray
+
+    root = os.path.join(out_dir, "docs_shards")
+    os.makedirs(root, exist_ok=True)
+    done = {
+        int(m.split(".")[-1])
+        for m in os.listdir(root)
+        if m.startswith("_SUCCESS.")
+    }
+    done_ref = ray.put(np.asarray(sorted(done), dtype=np.int64))
+
+    t0 = time.time()
+
+    def tag_and_skip(batch: pa.Table) -> pa.Table:
+        finished = ray.get(done_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = ids // shard_docs
+        keep = ~np.isin(sh, finished)
+        out = batch.filter(pa.array(keep))
+        return out.append_column("shard", pa.array(sh[keep]))
+
+    staging = os.path.join(out_dir, "_docs_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    pending = docs.map_batches(tag_and_skip, batch_format="pyarrow")
+    pending.write_parquet(staging, partition_cols=["shard"])
+
+    written = []
+    if os.path.isdir(staging):
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("shard="):
+                continue
+            k = int(d.split("=")[1])
+            final = os.path.join(root, d)
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(os.path.join(staging, d), final)  # atomic per shard
+            with open(os.path.join(root, f"_SUCCESS.{k}"), "w") as f:
+                f.write("ok")
+            written.append(k)
+    shutil.rmtree(staging, ignore_errors=True)
+    summary = {
+        "shards_written": written,
+        "shards_skipped": sorted(done),
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(root, "_write_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary

@@ -300,3 +300,33 @@ def test_joins_hot_key_skew(ray_session):
     ).to_pandas()
     assert len(rm) == n
     assert (rm["rmean"] == 1.0).all()
+
+
+def test_write_docs_resumable(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.ingest import write_docs_resumable
+
+    docs = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(100)], pa.string()),
+    })
+    out = str(tmp_path / "out")
+    s1 = write_docs_resumable(rd.from_arrow(docs), out, shard_docs=32)
+    assert s1["shards_written"] == [0, 1, 2, 3]
+    root = os.path.join(out, "docs_shards")
+
+    # simulate a crash: lose shard 2's marker and data
+    os.remove(os.path.join(root, "_SUCCESS.2"))
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "shard=2"))
+
+    s2 = write_docs_resumable(rd.from_arrow(docs), out, shard_docs=32)
+    assert s2["shards_written"] == [2]
+    assert s2["shards_skipped"] == [0, 1, 3]
+
+    got = rd.read_parquet(root).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(100))

@@ -806,10 +806,14 @@ def q38_uniq_users_daily(sf_dir: str):
 
 def q39_quantile_sketch(sf_dir: str):
     """Approximate quantiles (mergeable weighted summary) beside the exact
-    median — rows-only (approximation has no SQL-exact oracle)."""
+    median.  chunk_key makes the sketch PARTITION-INVARIANT (chunks are
+    event_id ranges, not Ray blocks), so the result is deterministic in any
+    session and carries a golden oracle."""
     from stocksight_ray.pipelines.aggs import approx_quantiles, exact_median
 
-    qs = approx_quantiles(_events(sf_dir), "value", [0.1, 0.5, 0.9])
+    qs = approx_quantiles(
+        _events(sf_dir), "value", [0.1, 0.5, 0.9], chunk_key="event_id"
+    )
     med = exact_median(_events(sf_dir), "value")
     return pd.DataFrame(
         {
@@ -1301,8 +1305,6 @@ def oracle_sql() -> dict[str, str]:
         # each verified session-independent (scripts/check_determinism.py:
         # identical content hash in fresh 4- and 16-cpu sessions) before
         # pinning; regenerate deliberately via scripts/make_goldens.py.
-        # q39 stays rows-only by design (its per-block quantile summaries
-        # depend on block boundaries).
         **{
             name: f"SELECT * FROM read_parquet('{golden}/{name}_sf001.parquet')"
             for name in (
@@ -1312,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
                 "q31_url_extract", "q32_prices_pipeline", "q37_bm25_modes",
                 "q40_hll_distinct", "q41_pack_sequences",
                 "q44_link_score_fold", "q52_scrub_pii",
+                "q39_quantile_sketch",
             )
         },
         "q45_sessionize": (

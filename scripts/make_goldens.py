@@ -22,15 +22,15 @@ OUT_DIR = os.path.join(
 
 # Every query here was verified session-independent by
 # scripts/check_determinism.py (identical content hash in fresh 4-cpu and
-# 16-cpu sessions) before being pinned.  q39 (quantile sketch) is EXCLUDED
-# by design: its per-block summaries depend on block boundaries.
+# 16-cpu sessions) before being pinned.  q39 qualified once its sketch
+# switched to event_id-range chunks (block-boundary-independent).
 GOLDEN_QUERIES = [
     "q20_simhash", "q21_fingerprint", "q22_lang_id",
     "q18_bm25", "q19_minhash_dedup", "q23_sentiment", "q24_ivf_knn",
     "q25_image_features", "q26_webtext_ingest", "q27_news_headlines",
     "q28_sentiment_dashboard", "q31_url_extract", "q32_prices_pipeline",
     "q37_bm25_modes", "q40_hll_distinct", "q41_pack_sequences",
-    "q44_link_score_fold", "q52_scrub_pii",
+    "q44_link_score_fold", "q52_scrub_pii", "q39_quantile_sketch",
 ]
 
 

@@ -237,17 +237,53 @@ def approx_count_distinct(ds, key: str, p: int = 12) -> float:
 
 
 def approx_quantiles(
-    ds, col: str, qs: Sequence[float], points_per_block: int = 256
+    ds, col: str, qs: Sequence[float], points_per_block: int = 256,
+    chunk_key: Optional[str] = None, chunk_size: int = 4096,
 ) -> List[float]:
     """Mergeable approximate quantiles — the 100-TB path for percentile
     aggregations where ``exact_median``'s global sort is too expensive.
 
     Weighted quantile summary (GK/XGBoost-sketch style, simplified): each
-    batch emits ≤ ``points_per_block`` evenly spaced order statistics with
+    chunk emits ≤ ``points_per_block`` evenly spaced order statistics with
     weight n/points (plus exact min/max, weight 0-adjusted); the reduce side
     sorts the tiny weighted summary and inverts the cumulative weight.
-    Error is O(1/points_per_block) in rank per block; deterministic.
+    Error is O(1/points_per_block) in rank per chunk; deterministic.
+
+    Chunking: by default a chunk = one Ray block, so results vary slightly
+    with block boundaries (session parallelism).  Pass ``chunk_key`` (an
+    integer id column) to summarize per ``key // chunk_size`` bucket via
+    one small groupby instead — the result is then PARTITION-INVARIANT
+    (same value in any session) at the cost of a (chunk, value) shuffle.
     """
+    if chunk_key is not None:
+        def tag(batch: pa.Table) -> pa.Table:
+            ids = batch[chunk_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "_ck": pa.array(ids // chunk_size),
+                col: batch[col],
+            })
+
+        def summarize_chunk(g: pd.DataFrame) -> pd.DataFrame:
+            v = np.sort(g[col].to_numpy(np.float64))
+            v = v[~np.isnan(v)]
+            n = v.size
+            if n == 0:
+                return pd.DataFrame({"value": [], "weight": []})
+            b = min(points_per_block, n)
+            idx = np.minimum(((np.arange(b) + 0.5) * n / b).astype(np.int64), n - 1)
+            return pd.DataFrame({
+                "value": np.concatenate(([v[0]], v[idx], [v[-1]])),
+                "weight": np.concatenate(([0.0], np.full(b, n / b), [0.0])),
+            })
+
+        summary = (
+            ds.select_columns([chunk_key, col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("_ck")
+            .map_groups(summarize_chunk, batch_format="pandas")
+            .to_pandas()
+        )
+        return _invert_weighted_summary(summary, qs)
 
     def summarize(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -266,9 +302,14 @@ def approx_quantiles(
     summary = (
         ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
     )  # ≤ (points+2) × num_blocks rows — tiny by construction
+    return _invert_weighted_summary(summary, qs)
+
+
+def _invert_weighted_summary(summary: pd.DataFrame, qs: Sequence[float]) -> List[float]:
+    """Invert the cumulative weight of a (value, weight) summary frame."""
     summary = summary.sort_values("value", kind="stable")
-    w = summary["weight"].to_numpy()
-    v = summary["value"].to_numpy()
+    w = summary["weight"].to_numpy(np.float64)
+    v = summary["value"].to_numpy(np.float64)
     total = w.sum()
     cum = np.cumsum(w) - w / 2.0  # midpoint rule
     out = []

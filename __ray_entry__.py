@@ -73,7 +73,7 @@ def q02_token_topk(sf_dir: str):
 def q03_text_counts(sf_dir: str):
     from stocksight_ray.functions.textstats import quality_stats_batch
 
-    out = _docs(sf_dir).map_batches(
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         quality_stats_batch, batch_format="pyarrow"
     )
     return out.select_columns(
@@ -84,14 +84,16 @@ def q03_text_counts(sf_dir: str):
 def q04_text_ratios(sf_dir: str):
     from stocksight_ray.functions.textstats import quality_stats_batch
 
-    out = _docs(sf_dir).map_batches(quality_stats_batch, batch_format="pyarrow")
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_stats_batch, batch_format="pyarrow"
+    )
     return out.select_columns(["doc_id", "punct_ratio", "stopword_ratio"])
 
 
 def q05_exact_dedup(sf_dir: str):
     from stocksight_ray.pipelines.dedup import exact_dedup
 
-    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"])).select_columns(["doc_id"])
 
 
 def q06_admission(sf_dir: str):
@@ -104,7 +106,7 @@ def q06_admission(sf_dir: str):
         n = ws_token_count(batch["text"])
         return batch.select(["doc_id"]).filter(pc.greater_equal(n, 50))
 
-    return _docs(sf_dir).map_batches(admit, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(admit, batch_format="pyarrow")
 
 
 def q07_metric_nchars(sf_dir: str):
@@ -1008,7 +1010,7 @@ def q48_repetition_stats(sf_dir: str):
     from stocksight_ray.functions.textstats import repetition_stats_batch
 
     return (
-        _docs(sf_dir)
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(repetition_stats_batch, batch_format="pyarrow")
         .select_columns([
             "doc_id", "n_words", "n_distinct_words", "distinct_ratio",

@@ -1049,6 +1049,18 @@ def q50_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q53_hopping_windows(sf_dir: str):
+    """Hopping-window counts per event_type (1 h window, 15 min slide) —
+    the sliding member of the window family; SQL oracle via
+    generate_series."""
+    from stocksight_ray.pipelines.sessions import hopping_window_counts
+
+    out = hopping_window_counts(
+        _events(sf_dir), width_sec=3600, slide_sec=900, by="event_type"
+    ).to_pandas()
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
 def q52_scrub_pii(sf_dir: str):
     """Pattern scrubbing (PII-style masking) over the webtext corpus: urls
     embedded in page text are redacted to <URL> with per-row counts.
@@ -1142,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_decontaminate": q50_decontaminate,
         "q51_topk_per_group": q51_topk_per_group,
         "q52_scrub_pii": q52_scrub_pii,
+        "q53_hopping_windows": q53_hopping_windows,
     }
 
 
@@ -1370,6 +1383,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"
+        ),
+        "q53_hopping_windows": (
+            "WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 AS t FROM events) "
+            "SELECT k * 900 AS window_start, event_type, count(*) AS cnt FROM ("
+            "  SELECT event_type, unnest(generate_series("
+            "    (t - 3600) // 900 + 1, t // 900)) AS k FROM e) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "q51_topk_per_group": (
             "SELECT event_type, user_id, round(total, 4) AS total_value FROM ("

@@ -81,3 +81,52 @@ def sessionize(
         .groupby("_b")
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+def hopping_window_counts(
+    ds,
+    *,
+    ts_col: str = "ts",
+    width_sec: int = 3600,
+    slide_sec: int = 900,
+    by: str = None,
+):
+    """Hopping (sliding) time-window counts: every event lands in the
+    width/slide windows covering it (window_start ≡ 0 mod slide, start ≤ t
+    < start+width).  Completes the window family beside tumbling
+    (date_histogram), gap (sessionize), and row (rolling_mean) windows.
+
+    Map-side the covering windows explode vectorized AND pre-reduce per
+    batch (TableGroupBy), so the shuffle carries (window, by, partial)
+    rows bounded by window-cardinality × blocks — not event count."""
+    from ray.data.aggregate import Sum
+
+    cols = [ts_col] + ([by] if by else [])
+    keys = (["window_start"] + ([by] if by else []))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = (
+            batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000
+        )
+        k_lo = (t - width_sec) // slide_sec + 1
+        k_hi = t // slide_sec  # inclusive
+        reps = (k_hi - k_lo + 1).astype(np.int64)
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(t) else np.array([], dtype=np.int64)
+        ks = np.repeat(k_lo, reps) + offs
+        cols_out = {"window_start": pa.array(ks * slide_sec)}
+        if by:
+            vals = batch[by].take(
+                pa.array(np.repeat(np.arange(len(t)), reps))
+            )
+            cols_out[by] = vals
+        tb = pa.table(cols_out)
+        g = pa.TableGroupBy(tb, keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["partial"])
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )

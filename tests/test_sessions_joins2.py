@@ -330,3 +330,27 @@ def test_write_docs_resumable(ray_session, tmp_path):
 
     got = rd.read_parquet(root).to_pandas()
     assert sorted(got["doc_id"]) == list(range(100))
+
+
+def test_hopping_window_counts(ray_session):
+    from datetime import datetime, timedelta
+
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.sessions import hopping_window_counts
+
+    base = datetime(2024, 1, 1, 0, 59, 0)  # lands in windows 0:00 and 0:30
+    t = pa.table({
+        "ts": pa.array([base, base + timedelta(minutes=2)], pa.timestamp("us")),
+        "event_type": pa.array(["a", "a"], pa.string()),
+    })
+    out = (
+        hopping_window_counts(
+            rd.from_arrow(t), width_sec=3600, slide_sec=1800, by="event_type"
+        )
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    epoch = int(datetime(2024, 1, 1).timestamp())
+    # 0:59 event: windows starting 0:00 and 0:30; 1:01 event: 0:30 and 1:00
+    assert out["window_start"].tolist() == [epoch, epoch + 1800, epoch + 3600]
+    assert out["cnt"].tolist() == [1, 2, 1]

@@ -321,6 +321,86 @@ def _verify_pairs(pairs, attrs, id_col: str, attr_col: str, verify_group,
     )
 
 
+# Fused (single-shuffle) small-corpus complement of _candidate_pairs +
+# _verify_pairs: below this materialized-signature-table size the payload
+# rides the exploded band rows and pair generation + verification run inside
+# ONE bucketed groupby.  Above it, the two-pass layout ships the payload
+# once (band rows stay bare 16 B) at the cost of three more shuffles — the
+# right trade at scale, but at small corpus sizes each extra shuffle's fixed
+# launch latency (~1-2 s) dominates (q19 regressed 9.0→17.2 s in round 2
+# when two-pass became unconditional; this restores the adaptive choice).
+FUSE_SIGS_BYTES = 256 << 20  # 256 MiB payload table → ≤ bands × 256 MiB shuffle
+
+
+def _fused_pair_verify(sigs, id_col: str, attr_col: str, verify_group,
+                       op_name: str, num_buckets: int = NUM_BUCKETS):
+    """Explode (id, attr, band_keys) → (band_key, id, attr) rows → one
+    bucketed groupby generating AND verifying candidate pairs in place.
+    Emitted edges can repeat across buckets (a pair may share several band
+    keys); min-id decision folding is idempotent, so callers that reduce to
+    per-doc decisions (minhash/simhash dedup) are unaffected.  Pair-listing
+    callers (ngram_jaccard_pairs) must NOT use this path."""
+    import logging
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        attrs = np.asarray(batch[attr_col].to_pylist(), dtype=object)
+        lists = batch["band_keys"].to_pylist()
+        reps = [len(ks) for ks in lists]
+        flat = np.array(
+            [k for ks in lists for k in ks], dtype=np.int64
+        )
+        kb = (flat & (num_buckets - 1)).astype(np.int32)
+        return pa.table({
+            "band_key": pa.array(flat),
+            id_col: pa.array(np.repeat(ids, reps).astype(np.int64)),
+            "attr": pa.array(list(np.repeat(attrs, reps)), pa.binary()),
+            "_kb": pa.array(kb),
+        })
+
+    def bucket_verify(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["band_key", id_col])
+        g = g.sort_values(["band_key", id_col], kind="stable")
+        rank = g.groupby("band_key").cumcount()
+        over = g.loc[rank >= _CAP_IDS, "band_key"]
+        if len(over):
+            logging.getLogger(__name__).warning(
+                "%s: %d band keys exceed %d docs — pairs beyond the %d "
+                "smallest ids per key dropped (salt band keys or raise cap)",
+                op_name, over.nunique(), _CAP_IDS, _CAP_IDS,
+            )
+            g = g[rank < _CAP_IDS]
+        m = g[["band_key", id_col, "attr"]].merge(g[["band_key", id_col, "attr"]], on="band_key")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        m = m.drop_duplicates([f"{id_col}_x", f"{id_col}_y"])
+        pdf = pd.DataFrame({
+            "a": m[f"{id_col}_x"].to_numpy(np.int64),
+            "b": m[f"{id_col}_y"].to_numpy(np.int64),
+            "attr_a": m["attr_x"].to_numpy(dtype=object),
+            "attr_b": m["attr_y"].to_numpy(dtype=object),
+        })
+        return verify_group(pdf)
+
+    return (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(bucket_verify, batch_format="pandas")
+    )
+
+
+def _pick_mode(sigs, mode: str) -> bool:
+    """True → fused single-shuffle path.  'auto' reads the materialized
+    signature table's size (metadata-only) against FUSE_SIGS_BYTES."""
+    if mode == "fused":
+        return True
+    if mode == "twopass":
+        return False
+    try:
+        return (sigs.size_bytes() or 0) <= FUSE_SIGS_BYTES
+    except Exception:
+        return False
+
+
 def _min_id_decisions(edges, id_col: str, num_buckets: int = NUM_BUCKETS):
     """(doc, neighbor) verified-duplicate edges -> (id_col, keep) decisions:
     a doc is dropped if any verified neighbor has a smaller id (min-id-wins
@@ -368,6 +448,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     ngram: int = 3,
     threshold: float = 0.8,
+    mode: str = "auto",
 ):
     """MinHash+LSH near-dedup -> Dataset of (id_col, keep:bool).
 
@@ -379,7 +460,14 @@ def minhash_lsh_dedup(
     per candidate pair for the exact-Jaccard verify.
 
     Shuffle volume: bands x N x 16 B candidate rows + 1 x digest table —
-    versus bands x digest table when the digest rode every band row."""
+    versus bands x digest table when the digest rode every band row.
+
+    ``mode``: 'twopass' (the scale layout above), 'fused' (single-shuffle:
+    digest rides the band rows, pairs generated + verified in one bucketed
+    groupby — 2 shuffles total vs 5), or 'auto' (default): fused when the
+    materialized digest table is ≤ FUSE_SIGS_BYTES, where the extra
+    shuffles' fixed launch latency dominates the payload-duplication cost.
+    Both modes produce identical decisions (property-tested)."""
     rows_per_band = num_perm // bands
     params = _perm_params(num_perm)
 
@@ -404,13 +492,6 @@ def minhash_lsh_dedup(
         })
 
     sigs = ds.map_batches(digest_rows, batch_format="pyarrow").materialize()
-    cands = _candidate_pairs(
-        sigs.select_columns([id_col, "band_keys"]).map_batches(
-            _explode_band_keys(id_col), batch_format="pyarrow"
-        ),
-        id_col,
-        "minhash_lsh_dedup",
-    )
 
     def verify(p: pd.DataFrame) -> pa.Table:
         doc = np.array([], dtype=np.int64)
@@ -424,9 +505,22 @@ def minhash_lsh_dedup(
             neigh = p["a"].to_numpy(np.int64)[hit]
         return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
 
-    edges = _verify_pairs(
-        cands, sigs.select_columns([id_col, "digest"]), id_col, "digest", verify
-    )
+    if _pick_mode(sigs, mode):
+        edges = _fused_pair_verify(
+            sigs, id_col, "digest", verify, "minhash_lsh_dedup"
+        )
+    else:
+        cands = _candidate_pairs(
+            sigs.select_columns([id_col, "band_keys"]).map_batches(
+                _explode_band_keys(id_col), batch_format="pyarrow"
+            ),
+            id_col,
+            "minhash_lsh_dedup",
+        )
+        edges = _verify_pairs(
+            cands, sigs.select_columns([id_col, "digest"]), id_col, "digest",
+            verify,
+        )
     return _min_id_decisions(edges, id_col)
 
 
@@ -481,7 +575,8 @@ def simhash64(text: str) -> int:
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  *, max_hamming: int = 3, bands: int = 4):
+                  *, max_hamming: int = 3, bands: int = 4,
+                  mode: str = "auto"):
     """SimHash near-dedup: docs whose 64-bit simhash differs in <= max_hamming
     bits are duplicates.  Candidate generation: split the hash into ``bands``
     16-bit bands — any pair within Hamming <= bands-1 shares >=1 exact band
@@ -510,13 +605,6 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     sigs = ds.map_batches(hash_rows, batch_format="pyarrow").materialize()
-    cands = _candidate_pairs(
-        sigs.select_columns([id_col, "band_keys"]).map_batches(
-            _explode_band_keys(id_col), batch_format="pyarrow"
-        ),
-        id_col,
-        "simhash_dedup",
-    )
 
     def verify(p: pd.DataFrame) -> pa.Table:
         doc = np.array([], dtype=np.int64)
@@ -537,9 +625,22 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             neigh = p["a"].to_numpy(np.int64)[hit]
         return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
 
-    edges = _verify_pairs(
-        cands, sigs.select_columns([id_col, "simhash"]), id_col, "simhash", verify
-    )
+    if _pick_mode(sigs, mode):
+        edges = _fused_pair_verify(
+            sigs, id_col, "simhash", verify, "simhash_dedup"
+        )
+    else:
+        cands = _candidate_pairs(
+            sigs.select_columns([id_col, "band_keys"]).map_batches(
+                _explode_band_keys(id_col), batch_format="pyarrow"
+            ),
+            id_col,
+            "simhash_dedup",
+        )
+        edges = _verify_pairs(
+            cands, sigs.select_columns([id_col, "simhash"]), id_col,
+            "simhash", verify,
+        )
     return _min_id_decisions(edges, id_col)
 
 

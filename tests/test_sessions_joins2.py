@@ -67,6 +67,33 @@ def test_semi_and_anti_join(ray_session):
     assert anti["k"].tolist() == [1, 3, 5]
 
 
+def test_semi_anti_join_null_keys(ray_session):
+    """SQL EXISTS / NOT EXISTS semantics for null join keys: a null key never
+    matches, so semi DROPS null-key left rows and anti KEEPS them — even when
+    the right side also contains nulls."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import semi_join
+
+    left = pa.table({
+        "k": pa.array([1, None, 3, None], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"], pa.string()),
+    })
+    right = pa.table({"k": pa.array([1, None], pa.int64())})
+    semi = (
+        semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                  on="k", left_cols=["k", "v"])
+        .to_pandas().sort_values("v")
+    )
+    assert semi["v"].tolist() == ["a"]
+    anti = (
+        semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                  on="k", left_cols=["k", "v"], anti=True)
+        .to_pandas().sort_values("v")
+    )
+    assert anti["v"].tolist() == ["b", "c", "d"]
+
+
 def test_json_int_field_robust():
     from stocksight_ray.functions.jsonx import json_int_field
 

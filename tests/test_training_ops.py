@@ -224,6 +224,28 @@ def test_simhash_dedup(ray_session):
     assert 3 not in dropped and 0 not in dropped
 
 
+def test_lsh_fused_matches_twopass(ray_session):
+    """The adaptive single-shuffle fused path must produce IDENTICAL
+    decisions to the scale two-pass layout, for minhash and simhash, on a
+    duplicate-heavy corpus at several partition counts."""
+    import ray.data as rd
+    from stocksight_ray.pipelines.dedup import minhash_lsh_dedup, simhash_dedup
+
+    for nb in (1, 4):
+        ds = rd.from_arrow(_dup_corpus()).repartition(nb)
+        for fam, kw in ((minhash_lsh_dedup, {"threshold": 0.6}),
+                        (simhash_dedup, {"max_hamming": 3})):
+            fused = (
+                fam(ds, mode="fused", **kw)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            two = (
+                fam(ds, mode="twopass", **kw)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            assert fused.equals(two), (fam.__name__, nb)
+
+
 def test_ngram_jaccard_pairs(ray_session):
     import ray.data as rd
     from stocksight_ray.pipelines.dedup import ngram_jaccard_pairs, jaccard, shingles

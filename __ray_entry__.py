@@ -23,6 +23,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# Metadata-stripping parquet reader: the driver's testdata parquet carries a
+# b'pandas' footer blob that makes pyarrow-16 schemas unhashable, defeating
+# Ray's schema-dedup early exit and spamming 'Failed to hash the schemas'
+# warnings (VERDICT r2 #5/#7) — stocksight_ray.io for the full story.
+from stocksight_ray.io import read_parquet_clean as _read_pq
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 # Kept in sync with stocksight_ray.functions.textstats.QUALITY_STOPWORDS.
@@ -37,7 +43,7 @@ def _docs(sf_dir: str, columns=None):
     for relational operators, not opaque batch functions)."""
     import ray.data as rd
 
-    return rd.read_parquet(
+    return _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=columns
     )
 
@@ -45,7 +51,7 @@ def _docs(sf_dir: str, columns=None):
 def _events(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return _read_pq(os.path.join(sf_dir, "events.parquet"))
 
 
 def _round_cols(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
@@ -199,7 +205,7 @@ def q13_lineitem_pricing(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -234,7 +240,7 @@ def q14_orders_status(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderstatus", "o_totalprice"]
     )
 
@@ -269,7 +275,7 @@ def q15_orders_mktsegment(sf_dir: str):
         dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
     )
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
@@ -317,7 +323,7 @@ def q16_knn(sf_dir: str):
     emb = pq.read_table(emb_path)
     by_id = {v: e for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())}
     queries = np.array([by_id[0], by_id[1], by_id[2]], dtype=np.float64)
-    ds = rd.read_parquet(emb_path)
+    ds = _read_pq(emb_path)
     out = brute_force_topk(ds, queries, k=10).to_pandas()
     return _round_cols(out, {"score": 6})
 
@@ -446,7 +452,7 @@ def q24_ivf_knn(sf_dir: str):
     emb = pq.read_table(emb_path)
     by_id = {v: e for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())}
     queries = np.array([by_id[0], by_id[1]], dtype=np.float64)
-    ds = rd.read_parquet(emb_path)
+    ds = _read_pq(emb_path)
     cent = train_centroids(ds, nlist=8)
     bucketed = ivf_partition(ds, cent).materialize()
     out = ivf_topk(bucketed, cent, queries, k=10, nprobe=4).to_pandas()
@@ -594,7 +600,7 @@ def q29_asof_join(sf_dir: str):
     # determinism guard: unique (k, o_orderdate) globally — max(value);
     # per-batch max in key_orders is the local combine
     right = (
-        rd.read_parquet(
+        _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_orderdate", "o_totalprice"],
         )
@@ -701,7 +707,7 @@ def q36_hash_join(sf_dir: str):
 
     from stocksight_ray.pipelines.joins import hash_join
 
-    lineitem = rd.read_parquet(
+    lineitem = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -715,7 +721,7 @@ def q36_hash_join(sf_dir: str):
         return pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
 
     left = lineitem.map_batches(revenue, batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     )
@@ -956,12 +962,12 @@ def q46_anti_join(sf_dir: str):
 
     from stocksight_ray.pipelines.joins import semi_join
 
-    cust = rd.read_parquet(
+    cust = _read_pq(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name"],
     )
     urgent = (
-        rd.read_parquet(
+        _read_pq(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_orderpriority"],
         )
@@ -987,19 +993,26 @@ def q47_props_extract(sf_dir: str):
         b = json_int_field(
             batch.select(["event_type", "props"]), "props", "k", "k"
         )
+        # ("k", "count") counts only non-null parsed values — avg_k must
+        # divide by that (SQL avg() ignores nulls), while n is count(*)
         g = pa.TableGroupBy(b.select(["event_type", "k"]), "event_type").aggregate(
-            [("k", "sum"), ([], "count_all")]
+            [("k", "sum"), ("k", "count"), ([], "count_all")]
         )
-        return g.rename_columns(["event_type", "p_sum", "p_cnt"])
+        return g.rename_columns(["event_type", "p_sum", "p_kcnt", "p_cnt"])
 
     agg = (
         _events(sf_dir)
         .map_batches(local, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(Sum("p_sum", alias_name="sum_k"), Sum("p_cnt", alias_name="n"))
+        .aggregate(
+            Sum("p_sum", alias_name="sum_k"),
+            Sum("p_kcnt", alias_name="_n_k"),
+            Sum("p_cnt", alias_name="n"),
+        )
         .to_pandas()
     )
-    agg["avg_k"] = (agg["sum_k"] / agg["n"]).round(6)
+    agg["avg_k"] = (agg["sum_k"] / agg["_n_k"]).round(6)
+    del agg["_n_k"]
     agg = agg[["event_type", "n", "sum_k", "avg_k"]]
     return agg.sort_values("event_type").reset_index(drop=True)
 
@@ -1451,6 +1464,6 @@ def entry() -> Any:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # sf contract: touch the driver-generated table too
-    n_docs = rd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet")).count()
+    n_docs = _read_pq(os.path.join(SF_SMOKE, "documents.parquet")).count()
     res["sf_docs"] = n_docs
     return res

@@ -228,11 +228,11 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     top_bigram = np.empty(n, np.int64)
     max_len = np.empty(n, np.int64)
     for i, t in enumerate(texts):
-        words = t.split(" ") if t else []
+        # NOTE: ''.split(' ') == [''] — one empty token, matching DuckDB
+        # string_split('', ' ') so the SQL oracle agrees on empty docs
+        # (n_words=1, distinct_ratio=1) — ADVICE r2.
+        words = t.split(" ")
         n_tok[i] = len(words)
-        if not words:
-            n_distinct[i] = top_word[i] = top_bigram[i] = max_len[i] = 0
-            continue
         vals, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
         n_distinct[i] = len(vals)
         top_word[i] = counts.max()

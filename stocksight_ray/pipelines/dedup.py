@@ -232,6 +232,11 @@ def _verify_pairs(pairs, attrs, id_col: str, attr_col: str, verify_group,
 
     pairs:  Dataset (a:int64, b:int64), possibly with cross-bucket dups.
     attrs:  Dataset (id_col, attr_col) — the single-copy payload table.
+      PRECONDITION: ``id_col`` values are UNIQUE.  The attach step resolves
+      duplicate ids with a first-wins drop_duplicates whose winner depends
+      on block order — callers must guarantee uniqueness (all in-package
+      callers derive ids from dedup_and_assign_ids or per-row signatures,
+      which do).
     verify_group(pdf) -> pa.Table over columns (a, b, attr_a, attr_b);
       MUST return a schema-stable Arrow table (same types when empty).
 
@@ -724,8 +729,16 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     Two-pass: band rows are bare (band_key, id) — the float vector does NOT
     ride the band shuffle; verification joins the stored embedding table,
-    shipped once, not ``bands`` times."""
+    shipped once, not ``bands`` times.
+
+    Precondition: ``id_col`` values must be unique (as minhash/simhash
+    guarantee by construction); duplicate ids would make the payload attach
+    pick an arbitrary vector.  The (id, vector) projection is materialized
+    ONCE and feeds both the banding pass and the verify join — upstream
+    stages run once and a nondeterministic upstream cannot band on
+    different vectors than it verifies (ADVICE r2)."""
     bits_per_band = num_planes // bands
+    vecs_tbl = ds.select_columns([id_col, vec_col]).materialize()
 
     class BandRows:
         def __init__(self):
@@ -753,7 +766,7 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             })
 
     cands = _candidate_pairs(
-        ds.map_batches(BandRows, batch_format="pyarrow", concurrency=2),
+        vecs_tbl.map_batches(BandRows, batch_format="pyarrow", concurrency=2),
         id_col,
         "embedding_dedup",
     )
@@ -777,6 +790,6 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
 
     edges = _verify_pairs(
-        cands, ds.select_columns([id_col, vec_col]), id_col, vec_col, verify
+        cands, vecs_tbl, id_col, vec_col, verify
     )
     return _min_id_decisions(edges, id_col)

@@ -121,3 +121,28 @@ def test_scrub_batch_masks_and_counts():
     assert out["n_email"].to_pylist() == [1, 0, 0, 0]
     assert out["n_url"].to_pylist() == [1, 0, 0, 0]
     assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0]
+
+
+def test_idlist_roundtrip_and_track_kwargs(ray_session, tmp_path):
+    """S5: one-id-per-line cache file — write, read back in file order via
+    the Ray text source, and map onto F3 admission kwargs; missing/empty
+    files impose no constraint (reference logs-and-continues on IOError)."""
+    from stocksight_ray.functions.idlist import (
+        load_track_ids, save_track_ids, track_filter_kwargs,
+    )
+
+    p = str(tmp_path / "track_ids.txt")
+    assert load_track_ids(p) == ()
+    assert track_filter_kwargs(p) == {}
+
+    n = save_track_ids(p, ["alice", "bob", "carol"])
+    assert n == 3
+    assert load_track_ids(p) == ("alice", "bob", "carol")
+    kw = track_filter_kwargs(p, min_required=2)
+    assert kw == {"tokens_required": ("alice", "bob", "carol"),
+                  "min_required": 2}
+
+    # blank/whitespace lines are dropped like the reference's strip loop
+    with open(p, "wt", encoding="utf-8") as f:
+        f.write("alice\n\n  \nbob\n")
+    assert load_track_ids(p) == ("alice", "bob")

@@ -273,19 +273,36 @@ def test_repetition_stats_property(texts):
     })
     out = repetition_stats_batch(t).to_pandas()
     for i, txt in enumerate(texts):
-        words = txt.split(" ") if txt else []
+        # DuckDB string_split('', ' ') == [''] — the kernel matches that
+        # (one empty token for the empty doc), so the model must too.
+        words = txt.split(" ")
         assert out.loc[i, "n_words"] == len(words)
         assert out.loc[i, "n_distinct_words"] == len(set(words))
-        if words:
-            from collections import Counter
+        from collections import Counter
 
-            assert out.loc[i, "top_word_frac"] == Counter(words).most_common(1)[0][1] / len(words)
-            assert out.loc[i, "max_word_len"] == max(len(w) for w in words)
-            if len(words) > 1:
-                bi = Counter(
-                    words[j] + " " + words[j + 1] for j in range(len(words) - 1)
-                )
-                assert out.loc[i, "top_bigram_frac"] == bi.most_common(1)[0][1] / (len(words) - 1)
+        assert out.loc[i, "top_word_frac"] == Counter(words).most_common(1)[0][1] / len(words)
+        assert out.loc[i, "max_word_len"] == max(len(w) for w in words)
+        if len(words) > 1:
+            bi = Counter(
+                words[j] + " " + words[j + 1] for j in range(len(words) - 1)
+            )
+            assert out.loc[i, "top_bigram_frac"] == bi.most_common(1)[0][1] / (len(words) - 1)
+
+
+def test_repetition_stats_empty_doc():
+    """Empty text follows DuckDB string_split semantics: one empty token →
+    n_words=1, distinct_ratio=1, max_word_len=0 (ADVICE r2)."""
+    from stocksight_ray.functions.textstats import repetition_stats_batch
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([""], pa.string())})
+    row = repetition_stats_batch(t).to_pandas().iloc[0]
+    assert row["n_words"] == 1
+    assert row["n_distinct_words"] == 1
+    assert row["distinct_ratio"] == 1.0
+    assert row["top_word_frac"] == 1.0
+    assert row["top_bigram_frac"] == 0.0
+    assert row["max_word_len"] == 0
 
 
 def test_joins_hot_key_skew(ray_session):

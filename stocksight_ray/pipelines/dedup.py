@@ -41,23 +41,24 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 def _content_hash(texts: List[str]) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.sha1((t or "").encode()).digest()[:8], "big") >> 1
-            for t in texts
-        ),
-        np.int64,
-        len(texts),
-    )
+    """Vectorized 63-bit content hash (one C-level siphash pass; only
+    steers bucketing — the dedup key is text equality, so the hash family
+    is free to change without affecting results)."""
+    obj = np.asarray([t or "" for t in texts], dtype=object)
+    h = pd.util.hash_array(obj, hash_key="stocksight-exact", categorize=False)
+    return (h >> np.uint64(1)).astype(np.int64)
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: Optional[int] = None):
     """Keep the min-id row per distinct text.  Shuffle key = BUCKET of
-    sha1(text) (fixed count, so map_groups runs O(buckets) vectorized
+    hash(text) (fixed count, so map_groups runs O(buckets) vectorized
     pandas calls, not one per distinct text); within a bucket the dedup
     key is the full 63-bit hash + a text equality check (drop_duplicates
     on text itself), guarding the ~2^-64 cross-text collision."""
-    NB = 256
+    from ..geometry import auto_buckets
+
+    NB = num_buckets or auto_buckets()
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         h = _content_hash(batch[text_col].to_pylist())
@@ -160,6 +161,11 @@ def jaccard(a: set, b: set) -> float:
 # key.  Scale NUM_BUCKETS with corpus size so a bucket (~corpus payload /
 # buckets) fits a task's heap; skewed band keys are PAIR_CAP'd.
 
+# Floor for auto-derived bucket counts (geometry.auto_buckets) — every
+# public dedup entry point resolves its bucket count from the materialized
+# signature table's size + cluster CPUs, with this historical constant as
+# the floor so small-corpus behavior is unchanged.  Results are
+# bucket-count-invariant (tested at two forced counts).
 NUM_BUCKETS = 256
 PAIR_CAP = 10_000
 # full enumeration of a band key's pairs stays under PAIR_CAP when the key
@@ -454,6 +460,7 @@ def minhash_lsh_dedup(
     ngram: int = 3,
     threshold: float = 0.8,
     mode: str = "auto",
+    num_buckets: Optional[int] = None,
 ):
     """MinHash+LSH near-dedup -> Dataset of (id_col, keep:bool).
 
@@ -497,6 +504,9 @@ def minhash_lsh_dedup(
         })
 
     sigs = ds.map_batches(digest_rows, batch_format="pyarrow").materialize()
+    from ..geometry import auto_buckets
+
+    nb = num_buckets or auto_buckets(sigs.size_bytes() or None)
 
     def verify(p: pd.DataFrame) -> pa.Table:
         doc = np.array([], dtype=np.int64)
@@ -512,7 +522,8 @@ def minhash_lsh_dedup(
 
     if _pick_mode(sigs, mode):
         edges = _fused_pair_verify(
-            sigs, id_col, "digest", verify, "minhash_lsh_dedup"
+            sigs, id_col, "digest", verify, "minhash_lsh_dedup",
+            num_buckets=nb,
         )
     else:
         cands = _candidate_pairs(
@@ -521,12 +532,13 @@ def minhash_lsh_dedup(
             ),
             id_col,
             "minhash_lsh_dedup",
+            num_buckets=nb,
         )
         edges = _verify_pairs(
             cands, sigs.select_columns([id_col, "digest"]), id_col, "digest",
-            verify,
+            verify, num_buckets=nb,
         )
-    return _min_id_decisions(edges, id_col)
+    return _min_id_decisions(edges, id_col, num_buckets=nb)
 
 
 def minhash_keep_ids(ds, text_col="text", id_col="doc_id", **kw):
@@ -581,7 +593,7 @@ def simhash64(text: str) -> int:
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   *, max_hamming: int = 3, bands: int = 4,
-                  mode: str = "auto"):
+                  mode: str = "auto", num_buckets: Optional[int] = None):
     """SimHash near-dedup: docs whose 64-bit simhash differs in <= max_hamming
     bits are duplicates.  Candidate generation: split the hash into ``bands``
     16-bit bands — any pair within Hamming <= bands-1 shares >=1 exact band
@@ -630,9 +642,13 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             neigh = p["a"].to_numpy(np.int64)[hit]
         return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
 
+    from ..geometry import auto_buckets
+
+    nb = num_buckets or auto_buckets(sigs.size_bytes() or None)
     if _pick_mode(sigs, mode):
         edges = _fused_pair_verify(
-            sigs, id_col, "simhash", verify, "simhash_dedup"
+            sigs, id_col, "simhash", verify, "simhash_dedup",
+            num_buckets=nb,
         )
     else:
         cands = _candidate_pairs(
@@ -641,12 +657,13 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             ),
             id_col,
             "simhash_dedup",
+            num_buckets=nb,
         )
         edges = _verify_pairs(
             cands, sigs.select_columns([id_col, "simhash"]), id_col,
-            "simhash", verify,
+            "simhash", verify, num_buckets=nb,
         )
-    return _min_id_decisions(edges, id_col)
+    return _min_id_decisions(edges, id_col, num_buckets=nb)
 
 
 # ---------------------------------------------------------------------------
@@ -655,7 +672,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         *, ngram: int = 3, threshold: float = 0.5,
-                        num_perm: int = 64, bands: int = 32):
+                        num_perm: int = 64, bands: int = 32,
+                        num_buckets: Optional[int] = None):
     """All (near-)similar pairs with exact word-n-gram Jaccard >= threshold.
     Candidates via aggressive LSH (many bands -> high recall at lower
     thresholds); output (a, b, jacc) with a < b, each pair verified once
@@ -684,12 +702,16 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     sigs = ds.map_batches(digest_rows, batch_format="pyarrow").materialize()
+    from ..geometry import auto_buckets
+
+    nb = num_buckets or auto_buckets(sigs.size_bytes() or None)
     cands = _candidate_pairs(
         sigs.select_columns([id_col, "band_keys"]).map_batches(
             _explode_band_keys(id_col), batch_format="pyarrow"
         ),
         id_col,
         "ngram_jaccard_pairs",
+        num_buckets=nb,
     )
 
     def verify(p: pd.DataFrame) -> pa.Table:
@@ -709,7 +731,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return _verify_pairs(
-        cands, sigs.select_columns([id_col, "digest"]), id_col, "digest", verify
+        cands, sigs.select_columns([id_col, "digest"]), id_col, "digest",
+        verify, num_buckets=nb,
     )
 
 
@@ -719,7 +742,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                     *, threshold: float = 0.95, num_planes: int = 12,
-                    bands: int = 3, seed: int = 11, dim: Optional[int] = None):
+                    bands: int = 3, seed: int = 11, dim: Optional[int] = None,
+                    num_buckets: Optional[int] = None):
     """Cosine near-dup over an embedding column: random-hyperplane LSH
     (sign bits, Charikar) generates candidate buckets; exact cosine verifies.
     Returns (id_col, keep) decisions for candidate docs (min-id keeper).
@@ -739,6 +763,9 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     different vectors than it verifies (ADVICE r2)."""
     bits_per_band = num_planes // bands
     vecs_tbl = ds.select_columns([id_col, vec_col]).materialize()
+    from ..geometry import auto_buckets
+
+    nb = num_buckets or auto_buckets(vecs_tbl.size_bytes() or None)
 
     class BandRows:
         def __init__(self):
@@ -769,6 +796,7 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         vecs_tbl.map_batches(BandRows, batch_format="pyarrow", concurrency=2),
         id_col,
         "embedding_dedup",
+        num_buckets=nb,
     )
 
     def verify(p: pd.DataFrame) -> pa.Table:
@@ -790,6 +818,6 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
 
     edges = _verify_pairs(
-        cands, vecs_tbl, id_col, vec_col, verify
+        cands, vecs_tbl, id_col, vec_col, verify, num_buckets=nb
     )
-    return _min_id_decisions(edges, id_col)
+    return _min_id_decisions(edges, id_col, num_buckets=nb)

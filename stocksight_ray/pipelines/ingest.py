@@ -28,7 +28,6 @@ and as the fallback path for adversarial (key, ts)-duplicate inputs.
 
 from __future__ import annotations
 
-import zlib
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -40,6 +39,12 @@ from ..functions.htmlx import extract_page_text
 from ..functions.sentiment import sentiment_analysis
 from ..functions.tokenize import nltk_style_tokens
 
+# Floor for auto-derived shuffle bucket counts (geometry.auto_buckets):
+# dedup_and_assign_ids / dedup_newest_wins resolve their bucket count from
+# cluster CPUs at call time (corpus size is unknown until after the stamp
+# pass; callers at known-huge scale pass num_buckets explicitly).  Results
+# are bucket-count-invariant — buckets only steer the shuffle (tested at
+# two forced counts).
 DEDUP_BUCKETS = 256
 
 
@@ -62,10 +67,14 @@ def clean_filter_batch(batch: pa.Table) -> pa.Table:
     return batch.select(keep).filter(mask)
 
 
-def _bucket_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    batch["bucket"] = [
-        zlib.crc32(u.encode()) % DEDUP_BUCKETS for u in batch["url"]
-    ]
+def _bucket_batch(batch: pd.DataFrame, num_buckets: int = DEDUP_BUCKETS) -> pd.DataFrame:
+    # vectorized (one C-level siphash pass; bucket values only steer the
+    # shuffle, so the hash family is free to change without affecting results)
+    h = pd.util.hash_array(
+        batch["url"].to_numpy(dtype=object), hash_key="stocksight-bckt0",
+        categorize=False,
+    )
+    batch["bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
     return batch
 
 
@@ -75,11 +84,17 @@ def _dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
     return g.drop(columns=["bucket"])
 
 
-def dedup_newest_wins(ds):
+def dedup_newest_wins(ds, num_buckets: Optional[int] = None):
     """A1: exact dedup by url, newest warc_ts wins. Hash-bucket shuffle keeps
     per-task groups coarse (vectorized pandas per bucket, not per url)."""
+    from ..geometry import auto_buckets
+
+    nb = num_buckets or auto_buckets()
     return (
-        ds.map_batches(_bucket_batch, batch_format="pandas")
+        ds.map_batches(
+            _bucket_batch, batch_format="pandas",
+            fn_kwargs={"num_buckets": nb},
+        )
         .groupby("bucket")
         .map_groups(_dedup_bucket, batch_format="pandas")
     )
@@ -133,7 +148,8 @@ def _flat(col) -> pa.Array:
     return col
 
 
-def _rk_batch(batch: pa.Table, key: str, ts: str) -> pa.Table:
+def _rk_batch(batch: pa.Table, key: str, ts: str,
+              num_buckets: int = DEDUP_BUCKETS) -> pa.Table:
     """Vectorized 128-bit row key: two independent 64-bit siphashes
     (pandas ``hash_array`` — C-speed, deterministic for a fixed hash_key)
     over ``key\\0ts\\0text``, packed big-endian into 16-byte binary.  Replaces
@@ -164,15 +180,16 @@ def _rk_batch(batch: pa.Table, key: str, ts: str) -> pa.Table:
         pa.binary(), n,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
     )
-    # bucket = first 4 rk bytes mod BUCKETS — must match pad_keep's
-    # int.from_bytes(rk[:4], "big") % DEDUP_BUCKETS recomputation
-    rkb = (((h1 >> np.uint64(32)) & np.uint64(0xFFFFFFFF)) % DEDUP_BUCKETS).astype(np.int32)
+    # bucket = first 4 rk bytes mod num_buckets — must match pad_keep's
+    # int.from_bytes(rk[:4], "big") % num_buckets recomputation
+    rkb = (((h1 >> np.uint64(32)) & np.uint64(0xFFFFFFFF)) % num_buckets).astype(np.int32)
     return batch.append_column("rk", rk).append_column("_rb", pa.array(rkb))
 
 
 def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
                          broadcast_threshold: int = 2_000_000,
-                         schema: "Optional[pa.Schema]" = None):
+                         schema: "Optional[pa.Schema]" = None,
+                         num_buckets: Optional[int] = None):
     """Fused A1 dedup (newest-wins) + deterministic dense doc_ids, with the
     sort shuffle carrying ONLY (key, ts, 16-byte row key) — never the text.
 
@@ -219,13 +236,16 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
       Either path collapses byte-identical duplicate rows (same key, ts,
       text ⇒ same rk) to a single output row.
     """
+    from ..geometry import auto_buckets
+
+    nb = num_buckets or auto_buckets()
     fschema = schema if schema is not None else ds.schema()
     out_cols = list(fschema.names) + ["doc_id"]
     out_types = dict(zip(fschema.names, fschema.types))
     out_types["doc_id"] = pa.int64()
 
     stamped = ds.map_batches(
-        lambda b: _rk_batch(b, key, ts), batch_format="pyarrow"
+        lambda b: _rk_batch(b, key, ts, nb), batch_format="pyarrow"
     ).materialize()
 
     sorted_slim = (
@@ -410,7 +430,7 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
     def pad_keep(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         rkb = np.fromiter(
-            (int.from_bytes(r[:4], "big") % DEDUP_BUCKETS
+            (int.from_bytes(r[:4], "big") % nb
              for r in batch["rk"].to_pylist()),
             np.int32, n,
         )

@@ -41,11 +41,12 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 def _content_hash(texts: List[str]) -> np.ndarray:
-    """Vectorized 63-bit content hash (one C-level siphash pass; only
-    steers bucketing — the dedup key is text equality, so the hash family
-    is free to change without affecting results)."""
-    obj = np.asarray([t or "" for t in texts], dtype=object)
-    h = pd.util.hash_array(obj, hash_key="stocksight-exact", categorize=False)
+    """Vectorized 63-bit content hash (only steers bucketing — the dedup
+    key is text equality, so the hash family is free to change without
+    affecting results)."""
+    from ..hashing import hash_strings
+
+    h = hash_strings(texts)
     return (h >> np.uint64(1)).astype(np.int64)
 
 

@@ -68,12 +68,11 @@ def clean_filter_batch(batch: pa.Table) -> pa.Table:
 
 
 def _bucket_batch(batch: pd.DataFrame, num_buckets: int = DEDUP_BUCKETS) -> pd.DataFrame:
-    # vectorized (one C-level siphash pass; bucket values only steer the
-    # shuffle, so the hash family is free to change without affecting results)
-    h = pd.util.hash_array(
-        batch["url"].to_numpy(dtype=object), hash_key="stocksight-bckt0",
-        categorize=False,
-    )
+    # vectorized (bucket values only steer the shuffle, so the hash family
+    # is free to change without affecting results)
+    from ..hashing import hash_strings
+
+    h = hash_strings(batch["url"].to_numpy(dtype=object))
     batch["bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
     return batch
 
@@ -189,7 +188,8 @@ def _rk_batch(batch: pa.Table, key: str, ts: str,
 def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
                          broadcast_threshold: int = 2_000_000,
                          schema: "Optional[pa.Schema]" = None,
-                         num_buckets: Optional[int] = None):
+                         num_buckets: Optional[int] = None,
+                         timings: Optional[dict] = None):
     """Fused A1 dedup (newest-wins) + deterministic dense doc_ids, with the
     sort shuffle carrying ONLY (key, ts, 16-byte row key) — never the text.
 
@@ -236,8 +236,12 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
       Either path collapses byte-identical duplicate rows (same key, ts,
       text ⇒ same rk) to a single output row.
     """
+    import time as _time
+
     from ..geometry import auto_buckets
 
+    _t = _time.time()
+    _timings = timings if timings is not None else {}
     nb = num_buckets or auto_buckets()
     fschema = schema if schema is not None else ds.schema()
     out_cols = list(fschema.names) + ["doc_id"]
@@ -247,12 +251,16 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
     stamped = ds.map_batches(
         lambda b: _rk_batch(b, key, ts, nb), batch_format="pyarrow"
     ).materialize()
+    _timings["stamp_materialize"] = _time.time() - _t
 
+    _t = _time.time()
     sorted_slim = (
         stamped.select_columns([key, ts, "rk"])
         .sort([key, ts, "rk"], descending=[False, True, False])
         .materialize()
     )
+    _timings["slim_sort"] = _time.time() - _t
+    _t = _time.time()
 
     _INFO_SCHEMA = pa.schema([
         ("first_rk", pa.binary()), ("last_rk", pa.binary()),
@@ -313,6 +321,8 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
         infos = infos_pipe.materialize()
         # driver-side pass over META columns only: O(#blocks) rows
         metas = infos.drop_columns(["keepers"]).take_all()
+    _timings["info_scan"] = _time.time() - _t
+    _t = _time.time()
 
     offsets = {}
     collision = False
@@ -364,6 +374,7 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
         )
         kser = pd.Series(ids_np, index=pd.Index(all_rks, dtype=object))
         kref = ray.put(kser)
+        _timings["driver_keepers_broadcast"] = _time.time() - _t
 
         def stamp(batch: pa.Table) -> pa.Table:
             m = ray.get(kref)

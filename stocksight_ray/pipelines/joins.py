@@ -116,14 +116,14 @@ def _string_bucket(keys, num_buckets: int) -> pa.Array:
     Python loop (VERDICT r2 'What's wrong' #1 — it sat inside every bucketed
     grouped op).  Bucket values only steer grouping; results are
     bucket-assignment-invariant, so the hash change is output-neutral."""
+    from ..hashing import hash_strings
+
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
-        obj = keys.to_numpy(zero_copy_only=False)
-    else:
+    if not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
         # rare non-string non-int key: stringify via Arrow cast (vectorized)
-        obj = pc.cast(keys, pa.string()).to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(obj, hash_key="stocksight-bktz0", categorize=False)
+        keys = pc.cast(keys, pa.string())
+    h = hash_strings(keys)
     return pa.array((h % num_buckets).astype(np.int32))
 
 

@@ -110,10 +110,6 @@ def make_spimi_partial(num_partitions: int, salt_range: int):
         flat_ids = np.repeat(ids, lengths)
         flat_dls = np.repeat(dls, lengths)
 
-        out = {
-            "part": [], "term": [], "salt": [], "df": [], "cf": [],
-            "ids_b": [], "tfs_b": [], "dls_b": [],
-        }
         if len(flat_terms) == 0:
             return pa.table(
                 {
@@ -145,26 +141,33 @@ def make_spimi_partial(num_partitions: int, salt_range: int):
             np.concatenate(([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])))
         )
         ends = np.append(boundary[1:], terms.size)
-        for lo, hi in zip(boundary, ends):
-            t = terms[lo]
-            out["part"].append(term_partition(t, num_partitions))
-            out["term"].append(t)
-            out["salt"].append(int(salts[lo]))
-            out["df"].append(hi - lo)
-            out["cf"].append(int(tf_arr[lo:hi].sum()))
-            out["ids_b"].append(_pack(doc_arr[lo:hi], delta=True))
-            out["tfs_b"].append(_pack(tf_arr[lo:hi], delta=False))
-            out["dls_b"].append(_pack(dl_arr[lo:hi], delta=False))
+        # one vectorized encode pass over ALL runs (byte-identical to the
+        # per-run _pack calls it replaced — those were 97% of this stage's
+        # wall at 5-8k runs/batch, profiled r3)
+        run_terms = terms[boundary]
+        ids_b = codec.varbyte_encode_segments(
+            codec.delta_encode_segments(doc_arr, boundary), boundary
+        )
+        tfs_b = codec.varbyte_encode_segments(tf_arr, boundary)
+        dls_b = codec.varbyte_encode_segments(dl_arr, boundary)
+        cfs = np.add.reduceat(tf_arr, boundary)
+        # partition routing: crc32 per UNIQUE term (vocab << runs), must stay
+        # term_partition — the query side locates terms with the same fn
+        uniq, inv = np.unique(run_terms, return_inverse=True)
+        parts_u = np.fromiter(
+            (term_partition(t, num_partitions) for t in uniq),
+            np.int32, len(uniq),
+        )
         return pa.table(
             {
-                "part": pa.array(out["part"], pa.int32()),
-                "term": pa.array(out["term"], pa.string()),
-                "salt": pa.array(out["salt"], pa.int64()),
-                "df": pa.array(out["df"], pa.int64()),
-                "cf": pa.array(out["cf"], pa.int64()),
-                "ids_b": pa.array(out["ids_b"], pa.binary()),
-                "tfs_b": pa.array(out["tfs_b"], pa.binary()),
-                "dls_b": pa.array(out["dls_b"], pa.binary()),
+                "part": pa.array(parts_u[inv], pa.int32()),
+                "term": pa.array(run_terms, pa.string()),
+                "salt": pa.array(salts[boundary].astype(np.int64)),
+                "df": pa.array((ends - boundary).astype(np.int64)),
+                "cf": pa.array(cfs.astype(np.int64)),
+                "ids_b": pa.array(ids_b, pa.binary()),
+                "tfs_b": pa.array(tfs_b, pa.binary()),
+                "dls_b": pa.array(dls_b, pa.binary()),
             }
         )
 
@@ -173,19 +176,39 @@ def make_spimi_partial(num_partitions: int, salt_range: int):
 
 def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
     """Per-(part, salt) merge: for each term, merge-sort its partial postings
-    and encode into block runs."""
+    and encode into block runs.
+
+    Decode is batched: ALL partial runs in the group are concatenated and
+    decoded in three vectorized passes (ids additionally need a per-run
+    cumsum reset, ``codec.segmented_cumsum``), then sliced per term — the
+    round-2 shape made ~3 tiny decode calls per (term, partial-run), which
+    was the merge stage's wall (profiled r3).  Output is byte-identical."""
     rows = {"part": [], "term": [], "salt": [], "df": [], "cf": [], "meta": [], "payload": []}
+    if not len(group):
+        return pd.DataFrame(rows)
     part = int(group["part"].iloc[0])
     salt = int(group["salt"].iloc[0])
-    for term, g in group.groupby("term", sort=True):
-        ids = np.concatenate([_unpack(b, True) for b in g["ids_b"]])
-        tfs = np.concatenate([_unpack(b, False) for b in g["tfs_b"]])
-        dls = np.concatenate([_unpack(b, False) for b in g["dls_b"]])
+    g = group.sort_values("term", kind="stable")  # within-term row order kept
+    dfs_run = g["df"].to_numpy(np.int64)
+    ids_flat, run_starts = codec.varbyte_decode_concat(g["ids_b"], dfs_run)
+    ids_flat = codec.segmented_cumsum(ids_flat, run_starts, dfs_run)
+    tfs_flat = codec.varbyte_decode_concat(g["tfs_b"], dfs_run)[0].astype(np.int64)
+    dls_flat = codec.varbyte_decode_concat(g["dls_b"], dfs_run)[0].astype(np.int64)
+    terms_run = g["term"].to_numpy()
+    first_run_of_term = np.flatnonzero(
+        np.concatenate(([True], terms_run[1:] != terms_run[:-1]))
+    )
+    term_val_starts = run_starts[first_run_of_term]
+    term_val_ends = np.append(term_val_starts[1:], ids_flat.size)
+    for ri, lo, hi in zip(first_run_of_term, term_val_starts, term_val_ends):
+        ids = ids_flat[lo:hi]
+        tfs = tfs_flat[lo:hi]
+        dls = dls_flat[lo:hi]
         order = np.argsort(ids, kind="stable")
         ids, tfs, dls = ids[order], tfs[order], dls[order]
         meta_b, payload = codec.encode_postings(ids, tfs, dls)
         rows["part"].append(part)
-        rows["term"].append(term)
+        rows["term"].append(terms_run[ri])
         rows["salt"].append(salt)
         rows["df"].append(ids.size)
         rows["cf"].append(int(tfs.sum()))

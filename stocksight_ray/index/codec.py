@@ -52,6 +52,84 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list:
+    """Encode MANY varbyte runs in one vectorized pass: ``values`` is the
+    concatenation of all runs, ``seg_starts`` their start indices (ascending,
+    first 0); run i covers ``[seg_starts[i], seg_starts[i+1])``, the last
+    ending at ``values.size``.  Returns one ``bytes`` per run, byte-identical
+    to calling :func:`varbyte_encode` per run — but with O(1) numpy
+    dispatches instead of O(runs) (the SPIMI partial makes ~5-8k runs per
+    batch; per-run calls were 97% of that stage's wall, profiled r3)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    n_seg = seg_starts.size
+    if v.size == 0:
+        return [b""] * n_seg
+    nbytes = np.ones(v.size, dtype=np.int64)
+    rest = v >> np.uint64(7)
+    while rest.any():
+        nbytes += (rest > 0).astype(np.int64)
+        rest >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_b = int(nbytes.max())
+    for k in range(max_b):
+        mask = nbytes > k
+        pos = starts[mask] + k
+        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8) * np.uint8(0x80)
+        out[pos] = byte.astype(np.uint8) | cont
+    buf = out.tobytes()
+    seg_val_ends = np.append(seg_starts[1:], v.size)
+    byte_lo = starts[np.minimum(seg_starts, v.size - 1)]
+    byte_hi = ends[seg_val_ends - 1]
+    # empty run guard (seg start == next start): zero-length byte slice
+    byte_lo = np.where(seg_val_ends > seg_starts, byte_lo, 0)
+    byte_hi = np.where(seg_val_ends > seg_starts, byte_hi, 0)
+    return [buf[a:b] for a, b in zip(byte_lo.tolist(), byte_hi.tolist())]
+
+
+def delta_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Per-run delta transform matching ``_pack(..., delta=True)``: within
+    each run the first element stays absolute, the rest become diffs.
+    Vectorized over all runs at once."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    d = np.diff(v, prepend=np.uint64(0))
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    live = seg_starts[seg_starts < v.size]
+    d[live] = v[live]
+    return d
+
+
+def segmented_cumsum(d: np.ndarray, seg_starts: np.ndarray,
+                     seg_lengths: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_encode_segments` over concatenated runs:
+    cumulative sum that RESETS at each run start."""
+    vals = d.astype(np.int64)
+    if vals.size == 0:
+        return vals
+    c = np.cumsum(vals)
+    base = c[seg_starts] - vals[seg_starts]
+    return c - np.repeat(base, seg_lengths)
+
+
+def varbyte_decode_concat(bufs, counts: np.ndarray):
+    """Decode MANY varbyte runs in one pass: ``bufs`` is an iterable of the
+    per-run encoded bytes, ``counts`` the known value count per run.
+    Returns (flat_values, run_value_starts).  Byte-identical inverse of
+    per-run :func:`varbyte_decode` calls (the per-(part,salt) merge made
+    ~40k tiny decode calls per group; one concatenated decode replaces
+    them)."""
+    joined = b"".join(bufs)
+    flat = varbyte_decode(joined)
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts.size else counts
+    return flat, starts
+
+
 def varbyte_decode(buf: bytes, offset: int = 0, length: int = -1) -> np.ndarray:
     """Vectorized varbyte decode of the byte range → uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8, count=length, offset=offset)

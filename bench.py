@@ -39,8 +39,12 @@ def _sf_from_dir(d: str) -> float:
 SF = _sf_from_dir(SF_DIR)
 N_PAGES = max(2000, int(200_000 * SF))  # 20k pages at sf0.1
 # Scaling runs need enough per-core work that compute dominates the fixed
-# session/actor-pool costs — 5× the headline corpus (100k pages at sf0.1).
-N_PAGES_SCALING = 5 * N_PAGES
+# session/actor-pool costs — after the r3 kernel vectorization the 100k-page
+# corpus finishes in ~20 s at 32 cpus (pure fixed-cost territory), so the
+# scaling corpus is 25x the headline (500k pages at sf0.1): the smallest
+# size where parallel work dominates the ~8 s serial floor at both levels,
+# the sandbox stand-in for a job sized to a real N vs 4N node cluster.
+N_PAGES_SCALING = 25 * N_PAGES
 
 
 def ensure_corpus(n_pages: int = None) -> str:
@@ -97,7 +101,8 @@ def run_ingest_index(corpus_dir: str, index_dir: str) -> dict:
 
     t1 = time.time()
     manifest = build_index(
-        docs, index_dir, text_col="text_clean", num_partitions=32, batch_size=1024
+        docs, index_dir, text_col="text_clean", num_partitions=32,
+        batch_size=1024, salt_range=None,  # auto: ~6 merge groups per cpu
     )
     t_index = time.time() - t1
     total = time.time() - t0
@@ -207,7 +212,7 @@ def main_bench() -> None:
         runs = {8: [], 32: []}
         t_scale = time.time()
         for i, cpus in enumerate((8, 32, 8, 32)):
-            if i == 2 and time.time() - t_scale > 300:
+            if i == 2 and time.time() - t_scale > 600:
                 break
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
@@ -251,9 +256,29 @@ def scaling_child(cpus: int) -> dict:
     import shutil
 
     shutil.rmtree(index_dir, ignore_errors=True)
+    _warm_workers(cpus)
     build = run_ingest_index(corpus, index_dir)
     ray.shutdown()
     return build
+
+
+def _warm_workers(cpus: int) -> None:
+    """Spawn + warm one Ray worker process per CPU before the timed run —
+    each imports the package so first-wave tasks don't pay worker spawn +
+    import (~2 s).  A real cluster's workers are warm; the scaling ratio
+    should measure steady-state throughput, not process cold-start."""
+    import ray.data as rd
+
+    def _warm(batch):
+        import stocksight_ray.pipelines.ingest  # noqa: F401
+        import stocksight_ray.index.build  # noqa: F401
+        return batch
+
+    # exactly one import-weight task per CPU slot, twice over: the first
+    # wave's concurrency makes Ray spawn the full worker set
+    rd.range(cpus * 2, override_num_blocks=cpus * 2).map_batches(
+        _warm, batch_size=None
+    ).materialize()
 
 
 def main_scaling() -> None:

@@ -78,6 +78,23 @@ class TokenizeStage:
         )
 
 
+_TOKENIZE_CACHE: dict = {}
+
+
+def _tokenize_task(batch: pa.Table, *, analyzer, text_col, id_col) -> pa.Table:
+    """Task-form TokenizeStage: one stage per (worker process, config),
+    reused across tasks — the stem memo cache then persists for the whole
+    worker lifetime instead of one actor's (see build_index for when to
+    prefer the actor-pool form)."""
+    key = (analyzer, text_col, id_col)
+    stage = _TOKENIZE_CACHE.get(key)
+    if stage is None:
+        stage = _TOKENIZE_CACHE.setdefault(
+            key, TokenizeStage(analyzer=analyzer, text_col=text_col, id_col=id_col)
+        )
+    return stage(batch)
+
+
 def _pack(arr: np.ndarray, delta: bool) -> bytes:
     v = arr.astype(np.uint64)
     if delta:
@@ -271,6 +288,23 @@ def make_partition_writer(out_dir: str):
     return write_partition
 
 
+def auto_salt_range(n_docs: int, cpus: int,
+                    num_partitions: int = DEFAULT_NUM_PARTITIONS) -> int:
+    """Salt range sized so the (part, salt) merge shuffle lands ~6 groups
+    per CPU: one or two coarse waves leave cores idle behind the fattest
+    term groups (profiled r3: 471k docs -> 2 salts x 32 parts = 64 groups on
+    30 CPUs ran 2 skewed waves, 12 s of an otherwise ~10 s index build).
+    More salts = more groups AND a tighter per-task memory bound; the write
+    stage re-concatenates per-term runs, so the layout is unchanged.
+    Power of two, floor 4096 docs, capped at DEFAULT_SALT_RANGE."""
+    target_groups = 6 * max(1, cpus)
+    salts_needed = max(1, -(-target_groups // max(1, num_partitions)))
+    sr = 4096
+    while sr * 2 <= max(4096, n_docs // salts_needed):
+        sr *= 2
+    return min(sr, DEFAULT_SALT_RANGE)
+
+
 def build_index(
     docs,
     out_dir: str,
@@ -279,7 +313,7 @@ def build_index(
     id_col: str = "doc_id",
     analyzer: str = "english",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
-    salt_range: int = DEFAULT_SALT_RANGE,
+    salt_range: Optional[int] = DEFAULT_SALT_RANGE,
     tokenize_concurrency: Optional[int] = None,
     batch_size: int = 1024,
     extra_manifest: Optional[dict] = None,
@@ -296,32 +330,54 @@ def build_index(
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
 
-    if tokenize_concurrency is None:
-        import ray
+    import ray
 
-        # FIXED pool on real sessions (eager actor start); tiny sessions
-        # autoscale from 1 so the pool can't starve task operators
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        tokenize_concurrency = (1, max(2, cpus - 2)) if cpus <= 4 else max(2, cpus - 2)
-    tokenize_kwargs = dict(
-        fn_constructor_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=tokenize_concurrency,
-    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if salt_range is None:
+        # derive from corpus size when the row count is metadata-cheap
+        # (materialized input); lazy inputs keep the default — counting
+        # them would execute the upstream pipeline twice
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(docs, MaterializedDataset):
+            salt_range = auto_salt_range(docs.count(), cpus, num_partitions)
+        else:
+            salt_range = DEFAULT_SALT_RANGE
+
+    # TASK form by default: TokenizeStage construction is free (analyzer
+    # state is module data + an empty memo cache — measured ~3 ms), so tasks
+    # on warm worker processes beat an actor pool's cold-start ramp and CPU
+    # pinning; the per-worker cache in _tokenize_task keeps the stem memo
+    # alive across tasks.  Pass ``tokenize_concurrency`` to pin an actor
+    # pool instead (the right shape for genuinely expensive stage state).
+    if tokenize_concurrency is None:
+        tokenize_fn = _tokenize_task
+        tokenize_kwargs = dict(
+            fn_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        tokenize_fn = TokenizeStage
+        tokenize_kwargs = dict(
+            fn_constructor_kwargs={"analyzer": analyzer, "text_col": text_col, "id_col": id_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=tokenize_concurrency,
+        )
 
     if single_pass:
         # ONE tokenize pass: materialize (doc_id, tokens, doc_len) and feed
         # both consumers from the object store (spills at scale — see module
         # docstring for the trade).
-        tokenized = docs.map_batches(TokenizeStage, **tokenize_kwargs).materialize()
+        tokenized = docs.map_batches(tokenize_fn, **tokenize_kwargs).materialize()
     else:
         tokenized = None
 
     def _tokens_ds():
         if tokenized is not None:
             return tokenized
-        return docs.map_batches(TokenizeStage, **tokenize_kwargs)
+        return docs.map_batches(tokenize_fn, **tokenize_kwargs)
 
     # Norms table — the query-side doc_len store.  Clear first: Ray's
     # write_parquet appends UUID-named files, so a rebuild into the same
@@ -344,12 +400,25 @@ def build_index(
         total_len += int(pa.compute.sum(frag_batch["doc_len"]).as_py() or 0)
     avgdl = (total_len / n_docs) if n_docs else 0.0
 
-    # Postings (streaming + 2 shuffles).
+    # Postings (streaming + 2 shuffles).  The partial pass runs per BLOCK
+    # (batch_size=None): every batch re-emits one row per (term, salt) it
+    # touches, so doc-count batches multiply partial rows for common terms
+    # ~(docs-per-block / batch_size)-fold (profiled r3: 6.4M -> 3.4M rows on
+    # the 500k-page corpus).  Before the merge shuffle, coalesce to a
+    # data-sized block count — the sort's intermediate-object count is
+    # quadratic in blocks (geometry.shuffle_num_blocks; merge wall 9.6 s ->
+    # 3.1 s at 32 CPUs on the same corpus).
+    from ..geometry import shuffle_num_blocks
+
+    if tokenized is not None:
+        nb_shuffle = shuffle_num_blocks(tokenized.size_bytes())
+    else:
+        nb_shuffle = shuffle_num_blocks(None)  # one block per CPU
     partials = _tokens_ds().map_batches(
         make_spimi_partial(num_partitions, salt_range),
         batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+        batch_size=None,
+    ).repartition(nb_shuffle)
     merged = partials.groupby(["part", "salt"]).map_groups(
         merge_bucket, batch_format="pandas"
     )

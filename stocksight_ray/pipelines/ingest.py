@@ -254,8 +254,16 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
     _timings["stamp_materialize"] = _time.time() - _t
 
     _t = _time.time()
+    from ..geometry import shuffle_num_blocks
+
+    # coalesce the slim projection before the sort: the shuffle's
+    # intermediate-object count is quadratic in block count and the slim
+    # table is ~100 B/row — see geometry.shuffle_num_blocks
+    n_rows_total = stamped.count()  # materialized → metadata-only
+    nb_sort = shuffle_num_blocks(n_rows_total * 100)
     sorted_slim = (
         stamped.select_columns([key, ts, "rk"])
+        .repartition(nb_sort)
         .sort([key, ts, "rk"], descending=[False, True, False])
         .materialize()
     )
@@ -309,7 +317,6 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
     # (each tiny execution costs ~1-2 s of launch latency; profiled r3).
     # Large corpora keep the O(#blocks)-driver discipline: materialize the
     # info dataset, read only meta columns driver-side.
-    n_rows_total = stamped.count()  # materialized → metadata-only
     small = n_rows_total <= broadcast_threshold
     infos_pipe = sorted_slim.map_batches(
         block_info, batch_format="pyarrow", batch_size=None
@@ -540,6 +547,28 @@ class EnrichStage:
         )
 
 
+_ENRICH_CACHE: dict = {}
+
+
+def _enrich_task(batch: pa.Table, *, min_tokens, tokens_required,
+                 tokens_ignored) -> pa.Table:
+    """Task-form EnrichStage: one stage object per (worker process, config),
+    reused across every task the worker runs (the state is module-level
+    lexicon data, so this is the idiomatic shape — see ingest_webtext)."""
+    key = (min_tokens, tuple(tokens_required), tuple(tokens_ignored))
+    stage = _ENRICH_CACHE.get(key)
+    if stage is None:
+        stage = _ENRICH_CACHE.setdefault(
+            key,
+            EnrichStage(
+                min_tokens=min_tokens,
+                tokens_required=tokens_required,
+                tokens_ignored=tokens_ignored,
+            ),
+        )
+    return stage(batch)
+
+
 def ingest_webtext(
     input_path,
     out_dir: Optional[str] = None,
@@ -590,27 +619,39 @@ def ingest_webtext(
         lang_list = list(langs)
         ds = ds.filter(expr=f"lang in {lang_list}")
 
-    if enrich_concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        # FIXED pool sized to the node on real sessions (all actors start
-        # eagerly — autoscaling ramp cost ~2s per stage); tiny test sessions
-        # autoscale from 1 so pools can't starve upstream task operators
-        enrich_concurrency = (1, max(2, cpus - 2)) if cpus <= 4 else max(2, cpus - 2)
-
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(clean_filter_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = dedup_and_assign_ids(ds, "url", "warc_ts", schema=post_schema)  # fused: ONE shuffle
-    ds = ds.map_batches(
-        EnrichStage,
-        fn_constructor_kwargs=dict(
-            min_tokens=min_tokens,
-            tokens_required=tokens_required,
-            tokens_ignored=tokens_ignored,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=enrich_concurrency,
-    )
+    # TASK form by default: EnrichStage state is module-level lexicons
+    # (construction is free — measured 0 ms), so tasks on already-warm
+    # worker processes beat an actor pool, which pays a cold-start ramp of
+    # CPUs-2 fresh actor processes and pins CPUs against neighboring task
+    # operators (profiled r3 on the 500k-page corpus).  Pass an int/tuple
+    # ``enrich_concurrency`` to pin an actor pool instead — the right call
+    # when the stage carries genuinely expensive state (model weights).
+    if enrich_concurrency is None:
+        ds = ds.map_batches(
+            _enrich_task,
+            fn_kwargs=dict(
+                min_tokens=min_tokens,
+                tokens_required=tokens_required,
+                tokens_ignored=tokens_ignored,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            EnrichStage,
+            fn_constructor_kwargs=dict(
+                min_tokens=min_tokens,
+                tokens_required=tokens_required,
+                tokens_ignored=tokens_ignored,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=enrich_concurrency,
+        )
     if out_dir is not None:
         import json
         import os

@@ -46,6 +46,10 @@ from ..functions.tokenize import nltk_style_tokens
 # are bucket-count-invariant — buckets only steer the shuffle (tested at
 # two forced counts).
 DEDUP_BUCKETS = 256
+# dedup_and_assign_ids pulls the slim (key, ts, rk) table driver-side and
+# sorts it locally below this row count — ONE execution instead of three
+# (each costs ~1-2 s of launch latency, which dominates small corpora)
+DRIVER_SLIM_MAX = 200_000
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
@@ -291,7 +295,7 @@ def dedup_and_assign_ids(ds, key: str = "url", ts: str = "warc_ts",
     # broadcast_threshold: this path pulls the WHOLE slim table (not just
     # keepers) to one process, and past ~200k rows the distributed sort
     # already amortizes its launch latency.
-    if 0 < n_rows_total <= min(200_000, broadcast_threshold):
+    if 0 < n_rows_total <= min(DRIVER_SLIM_MAX, broadcast_threshold):
         slim = stamped.select_columns([key, ts, "rk"]).to_pandas()
         slim.sort_values(
             [key, ts, "rk"], ascending=[True, False, True],

@@ -182,6 +182,35 @@ def test_fused_dedup_ids_matches_two_shuffle(ray_session, webtext_table):
         assert list(old["text"]) == list(new["text"])
 
 
+def test_dedup_ids_driver_slim_fastpath_matches_distributed(
+    ray_session, webtext_table, monkeypatch
+):
+    """The driver-slim small-corpus fast path and the distributed slim-sort
+    + broadcast path must produce identical (doc_id, url, warc_ts, text) —
+    DRIVER_SLIM_MAX=0 forces the distributed machinery on the same input."""
+    import ray.data as rd
+
+    from stocksight_ray.pipelines import ingest as ing
+
+    pre = (
+        rd.from_arrow(webtext_table)
+        .repartition(4)
+        .map_batches(ing.extract_batch, batch_format="pyarrow", batch_size=64)
+        .map_batches(ing.clean_filter_batch, batch_format="pyarrow", batch_size=64)
+    )
+    fast = (
+        ing.dedup_and_assign_ids(pre, "url", "warc_ts")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(ing, "DRIVER_SLIM_MAX", 0)
+    dist = (
+        ing.dedup_and_assign_ids(pre, "url", "warc_ts")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for col in ("doc_id", "url", "warc_ts", "text"):
+        assert list(fast[col]) == list(dist[col]), col
+
+
 def test_hash_join_vs_pandas(ray_session):
     import ray.data as rd
 

@@ -32,11 +32,13 @@ def _words(text: str) -> List[str]:
     return [w.strip("'") for w in _TOKEN_RE.findall(text.lower()) if w.strip("'")]
 
 
-def pattern_scores(text: str) -> Tuple[float, float]:
+def pattern_scores(text: str, words: "List[str] | None" = None) -> Tuple[float, float]:
     """TextBlob/pattern-style (polarity, subjectivity): average over matched
     lexicon words; a negator in the 2 preceding words multiplies polarity by
-    -0.5 (pattern's published rule)."""
-    words = _words(text)
+    -0.5 (pattern's published rule).  ``words`` lets callers share one
+    ``_words(text)`` pass across both scorers."""
+    if words is None:
+        words = _words(text)
     pols: List[float] = []
     subs: List[float] = []
     for i, w in enumerate(words):
@@ -53,11 +55,12 @@ def pattern_scores(text: str) -> Tuple[float, float]:
     return sum(pols) / len(pols), sum(subs) / len(subs)
 
 
-def vader_compound(text: str) -> float:
+def vader_compound(text: str, words: "List[str] | None" = None) -> float:
     """VADER-style compound in [-1, 1]: summed valences with distance-decayed
     degree boosters, negation dampening, '!' amplification, normalized by
     x/sqrt(x^2+15) (Hutto & Gilbert 2014 normalization)."""
-    words = _words(text)
+    if words is None:
+        words = _words(text)
     total = 0.0
     for i, w in enumerate(words):
         valence = VADER_LEXICON.get(w)
@@ -88,8 +91,9 @@ def vader_compound(text: str) -> float:
 
 def sentiment_analysis(text: str) -> Tuple[float, float, str]:
     """(polarity, subjectivity, label) per the reference combine rule."""
-    tb_pol, tb_sub = pattern_scores(text)
-    compound = vader_compound(text)
+    words = _words(text)  # ONE tokenize pass shared by both scorers
+    tb_pol, tb_sub = pattern_scores(text, words)
+    compound = vader_compound(text, words)
     if tb_pol < 0 and compound <= -0.05:
         label = "negative"
     elif tb_pol > 0 and compound >= 0.05:

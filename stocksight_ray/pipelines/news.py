@@ -124,6 +124,27 @@ class NewsEnrichStage:
         )
 
 
+_NEWS_ENRICH_CACHE: dict = {}
+
+
+def _news_enrich_task(batch: pa.Table, *, min_tokens, tokens_required,
+                      tokens_ignored) -> pa.Table:
+    """Task-form NewsEnrichStage: one stage per (worker process, config),
+    reused across tasks — see news_pipeline."""
+    key = (min_tokens, tuple(tokens_required), tuple(tokens_ignored))
+    stage = _NEWS_ENRICH_CACHE.get(key)
+    if stage is None:
+        stage = _NEWS_ENRICH_CACHE.setdefault(
+            key,
+            NewsEnrichStage(
+                min_tokens=min_tokens,
+                tokens_required=tokens_required,
+                tokens_ignored=tokens_ignored,
+            ),
+        )
+    return stage(batch)
+
+
 def news_pipeline(
     input_path,
     *,
@@ -134,7 +155,6 @@ def news_pipeline(
     batch_size: int = 512,
 ):
     """Full news mode: webtext → newsheadline table (lazy Dataset)."""
-    import ray
     import ray.data as rd
 
     if isinstance(input_path, str):
@@ -142,12 +162,22 @@ def news_pipeline(
     else:
         ds = input_path
 
-    if enrich_concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        enrich_concurrency = (1, max(2, cpus - 2)) if cpus <= 4 else max(2, cpus - 2)
-
     ds = ds.map_batches(headlines_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = dedup_headlines(ds)
+    # task form by default — stage construction is free (lexicons are module
+    # data), same policy as ingest_webtext; pass enrich_concurrency to pin
+    # an actor pool for genuinely expensive state
+    if enrich_concurrency is None:
+        return ds.map_batches(
+            _news_enrich_task,
+            fn_kwargs=dict(
+                min_tokens=min_tokens,
+                tokens_required=tokens_required,
+                tokens_ignored=tokens_ignored,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         NewsEnrichStage,
         fn_constructor_kwargs=dict(

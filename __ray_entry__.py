@@ -385,10 +385,13 @@ def q19_minhash_dedup(sf_dir: str):
 
 
 def q20_simhash(sf_dir: str):
-    from stocksight_ray.pipelines.dedup import simhash64
+    from stocksight_ray.pipelines.dedup import _simhash_batch
 
     def add(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) - (1 << 63) for t in batch["text"].to_pylist()]
+        h = _simhash_batch(batch["text"].to_pylist())
+        # uint64 -> int64 via the usual -2^63 shift (XOR the top bit then
+        # reinterpret), preserving order and all 64 bits
+        hs = (h ^ np.uint64(1 << 63)).view(np.int64)
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(hs, pa.int64())}
         )

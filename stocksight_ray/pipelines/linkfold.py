@@ -24,7 +24,7 @@ table may be corpus-sized.
 
 from __future__ import annotations
 
-import zlib
+
 from typing import Iterable, Tuple
 
 import numpy as np
@@ -60,11 +60,12 @@ def fold_link_scores(
 
 
 def _url_bucket(urls, num_buckets: int) -> np.ndarray:
-    return np.fromiter(
-        (zlib.crc32((u or "").encode()) % num_buckets for u in urls),
-        np.int32,
-        len(urls),
-    )
+    """Steering-only co-partition bucket (url-score join): one vectorized
+    hash pass (hashing.hash_strings) instead of the round-3 per-row
+    ``zlib.crc32`` loop — output-neutral, equal urls still co-locate."""
+    from ..hashing import hash_strings
+
+    return (hash_strings(urls) % np.uint64(num_buckets)).astype(np.int32)
 
 
 def link_score_fold(

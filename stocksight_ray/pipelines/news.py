@@ -63,14 +63,17 @@ def dedup_headlines(ds, num_buckets: int = 256):
     (/root/reference/sentiment.py:272,281-282) as a shuffle: BUCKET of
     hash(message) partitions (fixed count — one vectorized pandas dedup per
     bucket, not one task per distinct headline); earliest (date, location)
-    wins deterministically."""
-    import zlib
+    wins deterministically.  Bucket values only steer the shuffle (equal
+    messages always co-locate), so the hash runs through the vectorized
+    hashing.hash_strings kernel, not a per-row loop."""
 
     def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_h"] = [
-            (zlib.crc32(m.encode()) & 0x7FFFFFFF) % num_buckets
-            for m in batch["message"]
-        ]
+        from ..hashing import hash_strings
+
+        batch["_h"] = (
+            hash_strings(batch["message"].to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
         return batch
 
     return (

@@ -14,7 +14,6 @@ cheap downstream map over (doc_ids → token slices).
 
 from __future__ import annotations
 
-import zlib
 from typing import List
 
 import numpy as np
@@ -45,10 +44,15 @@ def pack_sequences(
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n_tok = _token_counts(batch[text_col].to_pylist())
-        bucket = np.fromiter(
-            (zlib.crc32(str(i).encode()) % num_buckets for i in ids),
-            np.int64, len(ids),
-        )
+        # Bucket membership is part of packing SEMANTICS (docs pack within
+        # their bucket), so the hash must be version-stable: pandas'
+        # fixed-key SipHash over the int64 ids, one vectorized pass
+        # (replaces the round-3 per-row ``zlib.crc32(str(id))`` loop; the
+        # q41 golden was re-pinned with this family).
+        bucket = (
+            pd.util.hash_array(ids.astype(np.int64))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(bucket),

@@ -245,16 +245,23 @@ def main_bench() -> None:
             )
             for i in range(n_pairs)
         ]
+        # headline = MEDIAN of the per-pair ratios (ADVICE r3: taking the
+        # max of noisy ratios cherry-picks upward); the best pair is still
+        # recorded, explicitly labeled, plus every raw run
+        import statistics
+
         result["scaling"] = {
             "docs_per_sec_8cpu": best8,
             "docs_per_sec_32cpu": best32,
-            # end-to-end (ingest+index): best same-conditions pair
-            "efficiency_8_to_32": max(pair_effs),
+            # end-to-end (ingest+index): median over same-conditions pairs
+            "efficiency_8_to_32": round(statistics.median(pair_effs), 3),
+            "best_pair_efficiency": max(pair_effs),
             "pair_efficiencies": pair_effs,
             # the north-rule metric proper: INDEX-BUILD stage throughput
             "index_docs_per_sec_8cpu": idx8,
             "index_docs_per_sec_32cpu": idx32,
-            "index_efficiency_8_to_32": max(idx_pair_effs),
+            "index_efficiency_8_to_32": round(statistics.median(idx_pair_effs), 3),
+            "index_best_pair_efficiency": max(idx_pair_effs),
             "index_pair_efficiencies": idx_pair_effs,
             "raw_runs": {str(c): runs[c] for c in (8, 32)},
             "n_pages": N_PAGES_SCALING,
@@ -262,6 +269,21 @@ def main_bench() -> None:
         }
     except Exception as ex:  # scaling evidence is best-effort in the bench
         result["scaling"] = {"error": str(ex)[:200]}
+
+    # Sharded serving at the scaling corpus (VERDICT r3 #8): single-engine
+    # p95 grows with corpus size (~30 ms at 943k docs); ShardedQueryService
+    # is the scale path and the bench now exercises it on the ~470k-doc
+    # corpus in a fresh child session.
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sharded-query-child"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=900,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        result["details"]["query_sharded"] = json.loads(line[-1])
+    except Exception as ex:
+        result["details"]["query_sharded"] = {"error": str(ex)[:200]}
     print(json.dumps(result))
 
 
@@ -282,6 +304,74 @@ def scaling_child(cpus: int) -> dict:
     build = run_ingest_index(corpus, index_dir)
     ray.shutdown()
     return build
+
+
+def sharded_query_child() -> dict:
+    """Fresh process: segmented index over the scaling corpus, then p95 for
+    the single in-process engine vs ShardedQueryService (one actor per
+    doc_id-range shard, global-stats scoring → identical rankings)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import ray.data as rd
+
+    from stocksight_ray.index.query import QueryEngine
+    from stocksight_ray.index.segments import build_resumable
+    from stocksight_ray.index.serve import ShardedQueryService
+    from stocksight_ray.pipelines.ingest import ingest_webtext
+
+    corpus = ensure_corpus(N_PAGES_SCALING)
+    out_dir = f"/tmp/bench_seg_index_{N_PAGES_SCALING}"
+    _warm_workers(NUM_CPUS)
+    t0 = time.time()
+    ds = rd.read_parquet(
+        corpus, columns=["url", "warc_ts", "html", "lang"],
+        override_num_blocks=2 * NUM_CPUS,
+    )
+    docs = ingest_webtext(ds).drop_columns(["tokens"]).materialize()
+    # ~8 shards at the 470k-doc corpus; resumable build reuses committed
+    # shards on a re-run, so only the first bench invocation pays the build
+    manifest = build_resumable(
+        docs, out_dir, text_col="text_clean", num_partitions=32,
+        salt_range=65536, shard_docs=65536,
+    )
+    build_sec = time.time() - t0
+    queries = make_queries()
+
+    def p95(search) -> float:
+        for q in queries[:5]:
+            search(q, 10)
+        lat = []
+        for q in queries:
+            t = time.perf_counter()
+            search(q, 10)
+            lat.append(time.perf_counter() - t)
+        return round(float(np.percentile(np.array(lat), 95)) * 1000, 3)
+
+    eng = QueryEngine(out_dir)
+    eng.warm(deep=True)
+    single_p95 = p95(eng.search)
+    # rank identity between the two serving paths on this corpus
+    svc = ShardedQueryService(out_dir)
+    mismatch = sum(
+        1 for q in queries[:10] if svc.search(q, 10) != eng.search(q, 10)
+    )
+    sharded_p95 = p95(svc.search)
+    svc.shutdown()
+    ray.shutdown()
+    return {
+        "n_docs": int(manifest["num_docs"]),
+        "n_shards": len(manifest.get("segments", [])),
+        "build_sec": round(build_sec, 3),
+        "single_engine_p95_ms": single_p95,
+        "sharded_p95_ms": sharded_p95,
+        "rank_mismatches_first10": mismatch,
+    }
 
 
 def _warm_workers(cpus: int) -> None:
@@ -348,9 +438,13 @@ def main_scaling() -> None:
         )
         for i in range(n_pairs)
     ]
+    import statistics
+
     out = {
         "metric": "scaling efficiency N=8 -> 4N=32 cpus (webtext ingest+index)",
-        "value": max(pair_effs),
+        # MEDIAN of per-pair ratios (ADVICE r3: max of noisy ratios biases
+        # upward); the best pair is recorded under an explicit label
+        "value": round(statistics.median(pair_effs), 3),
         "unit": "efficiency",
         "queries": {
             "docs_per_sec_8cpu": thr8,
@@ -358,9 +452,11 @@ def main_scaling() -> None:
             "total_sec_8cpu": best[8]["total_sec"],
             "total_sec_32cpu": best[32]["total_sec"],
             "pair_efficiencies": pair_effs,
+            "best_pair_efficiency": max(pair_effs),
             "index_docs_per_sec_8cpu": idx8,
             "index_docs_per_sec_32cpu": idx32,
-            "index_efficiency_8_to_32": max(idx_pair_effs),
+            "index_efficiency_8_to_32": round(statistics.median(idx_pair_effs), 3),
+            "index_best_pair_efficiency": max(idx_pair_effs),
             "index_pair_efficiencies": idx_pair_effs,
         },
         "sf": SF,
@@ -373,6 +469,8 @@ def main_scaling() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
         print(json.dumps(scaling_child(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sharded-query-child":
+        print(json.dumps(sharded_query_child()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         main_scaling()
     else:

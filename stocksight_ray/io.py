@@ -13,31 +13,24 @@ warning disappears and schema unification stays O(1).
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
 import pyarrow as pa
 
 
-def _one_footer(path: str) -> str:
-    """A single parquet file under ``path`` (itself, or the first file of a
-    directory) whose footer supplies the schema."""
-    if os.path.isdir(path):
-        for root, dirs, files in os.walk(path):
-            dirs.sort()
-            for n in sorted(files):
-                if n.endswith(".parquet"):
-                    return os.path.join(root, n)
-        raise FileNotFoundError(f"no .parquet file under {path}")
-    return path
-
-
 def clean_schema(path: str, columns: Optional[List[str]] = None) -> pa.Schema:
-    """The footer schema of ``path`` with ALL metadata stripped (and
-    subset to ``columns`` when given, preserving the requested order)."""
+    """The DATASET-level schema of ``path`` with ALL metadata stripped (and
+    subset to ``columns`` when given, preserving the requested order).
+
+    Dataset-level (``pq.ParquetDataset``), not first-footer (ADVICE r3):
+    hive-partitioned layouts get their partition columns (absent from the
+    file footers, e.g. this repo's ``_shard=`` staging dirs) and directories
+    with evolved schemas unify instead of silently dropping the added
+    columns.  For a single file or a homogeneous directory this is exactly
+    the first footer's schema."""
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(_one_footer(path)).remove_metadata()
+    schema = pq.ParquetDataset(path).schema.remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
     return schema

@@ -168,9 +168,14 @@ def _rk_batch(batch: pa.Table, key: str, ts: str,
         batch["text"] if "text" in batch.column_names
         else pa.nulls(n, pa.string())
     )
+    # Nulls hash under a NUL-framed sentinel, NOT "" (ADVICE r3): a null
+    # text and an empty text must produce different row keys for standalone
+    # dedup_and_assign_ids callers (ingest itself never emits nulls here).
+    # A real value equal to the sentinel would collide, but extracted
+    # key/ts/text never contain NUL bytes.
     joined = pc.binary_join_element_wise(
         pc.cast(batch[key], pa.string()), ts_str, text_col, "\0",
-        null_handling="replace", null_replacement="",
+        null_handling="replace", null_replacement="\x00null\x00",
     )
     obj = _flat(joined).to_numpy(zero_copy_only=False)
     h1 = pd.util.hash_array(obj, hash_key="stocksightrk-A00", categorize=False)

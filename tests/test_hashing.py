@@ -46,6 +46,23 @@ def test_polars_kernel_works(monkeypatch):
     _exercise("polars", monkeypatch)
 
 
+def test_rk_batch_null_vs_empty_text_distinct():
+    """ADVICE r3: a null text must NOT produce the same row key as an empty
+    string for the same (key, ts) — they are different rows, not byte-dups."""
+    import pyarrow as pa
+
+    from stocksight_ray.pipelines.ingest import _rk_batch
+
+    batch = pa.table({
+        "url": pa.array(["u", "u"]),
+        "warc_ts": pa.array([1, 1], pa.int64()).cast(pa.timestamp("s")),
+        "text": pa.array(["", None], pa.string()),
+    })
+    out = _rk_batch(batch, "url", "warc_ts")
+    rks = out["rk"].to_pylist()
+    assert rks[0] != rks[1]
+
+
 def test_custom_seed_decorrelates_pandas(monkeypatch):
     monkeypatch.setattr(hashing, "_KERNEL", "pandas")
     a = hashing.hash_strings(["x", "y"], seed=1)

@@ -142,11 +142,27 @@ class SegmentEngine:
         self._lens = norms["doc_len"].to_numpy(zero_copy_only=False).astype("int32")
 
     def warm(self) -> None:
-        """Pre-decode every term's postings into the full() cache so serving
-        latency never pays a cold varbyte decode (the same deep-warm policy
-        as QueryEngine.warm(deep=True); memory stays shard-bounded)."""
-        for p in self._tables.values():
-            p.full()
+        """Pre-decode every term's postings AND pre-resolve its scatter
+        positions + full BM25 contribution vector (idf x tf-norm — both
+        fixed per term: df/N/avgdl are global constants and doc lengths are
+        shard state), so a warm query is ONE scatter-add per term — no
+        varbyte decode, no searchsorted, no log/tf-norm on the serving
+        path.  Memory stays shard-bounded (~12 B/posting: int32 position +
+        float64 contribution)."""
+        import numpy as np
+
+        from . import codec
+
+        self._resolved = {}
+        for t, p in self._tables.items():
+            docids, tfs = p.full()
+            df = self._global_df.get(t, p.df)
+            w = float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
+            pos = np.searchsorted(self._ids, docids).astype(np.int32)
+            contrib = w * codec.tf_norm(
+                tfs, self._lens[pos], self.avgdl, self.k1, self.b
+            )
+            self._resolved[t] = (pos, contrib)
 
     def search(self, query: str, k: int = 10):
         """Top-k within this shard, scored with GLOBAL df/N/avgdl (dense
@@ -162,7 +178,16 @@ class SegmentEngine:
         terms = [t for t in self._analyze(query) if not (t in seen or seen.add(t))]
         acc = np.zeros(self._ids.size, dtype=np.float64)
         touched = np.zeros(self._ids.size, dtype=bool)
+        resolved = getattr(self, "_resolved", None)
         for t in terms:
+            if resolved is not None:
+                hit = resolved.get(t)
+                if hit is None:
+                    continue
+                pos, contrib = hit
+                acc[pos] += contrib
+                touched[pos] = True
+                continue
             p = self._tables.get(t)
             if p is None:
                 continue

@@ -29,8 +29,6 @@ analyzer dominates CPU); flip ``single_pass=False`` to trade back.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 import zlib
 from typing import Dict, List, Optional
@@ -264,24 +262,24 @@ def assemble_partition_table(group: pd.DataFrame) -> pa.Table:
 
 
 def make_partition_writer(out_dir: str):
-    """Per-partition assembly + atomic write. Returns a manifest row."""
+    """Per-partition assembly + atomic write (fsio: local tmp+rename, or
+    direct visibility-atomic PUT on object-store URIs — resolved inside the
+    worker task).  Returns a manifest row."""
 
     def write_partition(group: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
+        from .. import fsio
 
         part = int(group["part"].iloc[0])
         tbl = assemble_partition_table(group)
-        os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
-        final = os.path.join(out_dir, "index", f"part-{part:05d}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, final)  # atomic per-partition checkpoint
+        fsio.makedirs(fsio.join(out_dir, "index"))
+        final = fsio.join(out_dir, "index", f"part-{part:05d}.parquet")
+        fsio.write_table_atomic(tbl, final)  # atomic per-partition checkpoint
         return pd.DataFrame(
             {
                 "part": [part],
                 "n_terms": [tbl.num_rows],
                 "n_postings": [int(pa.compute.sum(tbl["df"]).as_py() or 0)],
-                "bytes": [os.path.getsize(final)],
+                "bytes": [fsio.getsize(final)],
             }
         )
 
@@ -328,7 +326,9 @@ def build_index(
         out_dir/manifest.json        N, avgdl, analyzer, bm25 params, lineage
     """
     t0 = time.time()
-    os.makedirs(out_dir, exist_ok=True)
+    from .. import fsio
+
+    fsio.makedirs(out_dir)
 
     import ray
 
@@ -382,18 +382,17 @@ def build_index(
     # Norms table — the query-side doc_len store.  Clear first: Ray's
     # write_parquet appends UUID-named files, so a rebuild into the same
     # out_dir would double every doc (wrong N/avgdl/idf).
-    import shutil
-
-    shutil.rmtree(os.path.join(out_dir, "norms"), ignore_errors=True)
-    shutil.rmtree(os.path.join(out_dir, "index"), ignore_errors=True)
+    fsio.remove_dir(fsio.join(out_dir, "norms"))
+    fsio.remove_dir(fsio.join(out_dir, "index"))
     _tokens_ds().select_columns(["doc_id", "doc_len"]).write_parquet(
-        os.path.join(out_dir, "norms")
+        fsio.join(out_dir, "norms")
     )
 
     # Corpus stats from the written norms (cheap columnar scan, no shuffle).
     import pyarrow.dataset as pads
 
-    norms = pads.dataset(os.path.join(out_dir, "norms"))
+    _nfs, _npath = fsio.resolve(fsio.join(out_dir, "norms"))
+    norms = pads.dataset(_npath, filesystem=_nfs)
     n_docs = norms.count_rows()
     total_len = 0
     for frag_batch in norms.to_batches(columns=["doc_len"]):
@@ -447,8 +446,7 @@ def build_index(
     }
     if extra_manifest:
         manifest.update(extra_manifest)
-    tmp = os.path.join(out_dir, "manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, default=int)
-    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    fsio.write_json_atomic(
+        manifest, fsio.join(out_dir, "manifest.json"), indent=1, default=int
+    )
     return manifest

@@ -32,13 +32,10 @@ loaded lazily per ``part = crc32(term) % P`` and cached.
 from __future__ import annotations
 
 import heapq
-import json
-import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ..functions.analyzer import ANALYZERS
 from . import codec
@@ -88,9 +85,11 @@ class _TermPostings:
 def read_postings_table(path: str) -> Dict[str, _TermPostings]:
     """Load one postings parquet file → {term: _TermPostings} (shared by
     the global engine's partition loader and segment serving)."""
+    from .. import fsio
+
     table: Dict[str, _TermPostings] = {}
-    if os.path.exists(path):
-        t = pq.read_table(path)
+    if fsio.exists(path):
+        t = fsio.read_table(path)
         for term, df, cf, m, p in zip(
             t["term"].to_pylist(), t["df"].to_pylist(), t["cf"].to_pylist(),
             t["meta"].to_pylist(), t["payload"].to_pylist(),
@@ -101,8 +100,9 @@ def read_postings_table(path: str) -> Dict[str, _TermPostings]:
 
 class QueryEngine:
     def __init__(self, index_dir: str):
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
+        from .. import fsio
+
+        self.manifest = fsio.read_json(fsio.join(index_dir, "manifest.json"))
         self.index_dir = index_dir
         self.N = int(self.manifest["num_docs"])
         self.avgdl = float(self.manifest["avgdl"]) or 1.0
@@ -116,7 +116,8 @@ class QueryEngine:
         # else (sorted ids, lens) for searchsorted lookup.
         import pyarrow.dataset as pads
 
-        norms = pads.dataset(os.path.join(index_dir, "norms")).to_table()
+        _nfs, _npath = fsio.resolve(fsio.join(index_dir, "norms"))
+        norms = pads.dataset(_npath, filesystem=_nfs).to_table()
         ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         lens = norms["doc_len"].to_numpy(zero_copy_only=False).astype(np.int32)
         order = np.argsort(ids, kind="stable")
@@ -139,7 +140,9 @@ class QueryEngine:
         cached = self._parts.get(part)
         if cached is not None:
             return cached
-        path = os.path.join(self.index_dir, "index", f"part-{part:05d}.parquet")
+        from .. import fsio
+
+        path = fsio.join(self.index_dir, "index", f"part-{part:05d}.parquet")
         table = read_postings_table(path)
         self._parts[part] = table
         return table
@@ -513,7 +516,10 @@ class QueryEngine:
             return []
         cand_ids = np.array([d for d, _ in cand_scored], dtype=np.int64)
         score_of = dict(cand_scored)
-        dset = pads.dataset(docs_path)
+        from .. import fsio
+
+        _dfs, _dpath = fsio.resolve(docs_path)
+        dset = pads.dataset(_dpath, filesystem=_dfs)
         tbl = dset.to_table(
             columns=["doc_id", text_col],
             filter=pads.field("doc_id").isin(pa.array(cand_ids)),
@@ -551,8 +557,11 @@ class QueryEngine:
             cand = self.search(query, k=1 << 30, method="exhaustive")
         if not cand:
             return []
+        from .. import fsio
+
         ids = pa.array([d for d, _ in cand], pa.int64())
-        tbl = pads.dataset(docs_path).to_table(
+        _dfs, _dpath = fsio.resolve(docs_path)
+        tbl = pads.dataset(_dpath, filesystem=_dfs).to_table(
             columns=["doc_id", sort_col],
             filter=pads.field("doc_id").isin(ids),
         )

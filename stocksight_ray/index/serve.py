@@ -20,7 +20,6 @@ Two forms:
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
 import pyarrow as pa
@@ -96,29 +95,25 @@ class SegmentEngine:
     accumulator is shard-sized (the point of sharding)."""
 
     def __init__(self, out_dir: str, shard: int):
-        import glob
-        import json
-
         import numpy as np
-        import pyarrow.parquet as pq
 
+        from .. import fsio
         from ..functions.analyzer import ANALYZERS
         from .query import read_postings_table
 
-        with open(os.path.join(out_dir, "manifest.json")) as f:
-            manifest = json.load(f)
+        manifest = fsio.read_json(fsio.join(out_dir, "manifest.json"))
         self.N = int(manifest["num_docs"])
         self.avgdl = float(manifest["avgdl"]) or 1.0
         self.k1 = float(manifest["k1"])
         self.b = float(manifest["b"])
         self._analyze = ANALYZERS[manifest["analyzer"]]
 
-        seg = os.path.join(out_dir, "segments", f"shard-{shard:05d}")
-        with open(os.path.join(seg, "lineage.json")) as f:
-            self.lineage = json.load(f)
+        seg = fsio.join(out_dir, "segments", f"shard-{shard:05d}")
+        self.lineage = fsio.read_json(fsio.join(seg, "lineage.json"))
         self._tables = {}
-        for p in sorted(glob.glob(os.path.join(seg, "part-*.parquet"))):
-            self._tables.update(read_postings_table(p))
+        for name in fsio.listdir(seg):
+            if name.startswith("part-") and name.endswith(".parquet"):
+                self._tables.update(read_postings_table(fsio.join(seg, name)))
 
         # global df for ONLY this shard's terms: projected (term, df) read
         # of the global partitions, filtered columnar (no per-row Python
@@ -128,16 +123,17 @@ class SegmentEngine:
 
         self._global_df = {}
         own = pa.array(sorted(self._tables), pa.string())
-        for p in sorted(
-            glob.glob(os.path.join(out_dir, "index", "part-*.parquet"))
-        ):
-            t = pq.read_table(p, columns=["term", "df"])
+        idx_dir = fsio.join(out_dir, "index")
+        for name in fsio.listdir(idx_dir):
+            if not (name.startswith("part-") and name.endswith(".parquet")):
+                continue
+            t = fsio.read_table(fsio.join(idx_dir, name), columns=["term", "df"])
             t = t.filter(pc.is_in(t["term"], value_set=own))
             self._global_df.update(
                 zip(t["term"].to_pylist(), (int(x) for x in t["df"].to_pylist()))
             )
 
-        norms = pq.read_table(os.path.join(seg, "norms.parquet"))
+        norms = fsio.read_table(fsio.join(seg, "norms.parquet"))
         self._ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
         self._lens = norms["doc_len"].to_numpy(zero_copy_only=False).astype("int32")
 
@@ -214,12 +210,11 @@ class ShardedQueryService:
     (shards partition disjoint doc_id ranges)."""
 
     def __init__(self, out_dir: str, warm: bool = True):
-        import json
-
         import ray
 
-        with open(os.path.join(out_dir, "manifest.json")) as f:
-            manifest = json.load(f)
+        from .. import fsio
+
+        manifest = fsio.read_json(fsio.join(out_dir, "manifest.json"))
         shards = [s["shard"] for s in manifest.get("segments", [])]
         if not shards:
             raise ValueError("index has no segments (built single-pass?)")

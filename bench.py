@@ -205,15 +205,18 @@ def main_bench() -> None:
     }
     ray.shutdown()
 
-    # per-round scaling evidence lands in BENCH_rN.json itself.  Interleaved
-    # best-of-2 per level when time allows (single runs on this shared box
-    # swing 2-3x with background load); a second pair is skipped if the
-    # first already cost > 300 s.
+    # per-round scaling evidence lands in BENCH_rN.json itself.  THREE
+    # interleaved pairs when time allows (single runs on this shared box
+    # swing 2-3x with background load, and the headline+ops section above
+    # leaves the box hot — a median over 3 pairs tolerates one bad pair
+    # where 2 pairs cannot); later pairs are skipped over a time budget.
+    # A 20 s cooldown lets clocks recover from the ops section first.
     try:
+        time.sleep(20)
         runs = {8: [], 32: []}
         t_scale = time.time()
-        for i, cpus in enumerate((8, 32, 8, 32)):
-            if i == 2 and time.time() - t_scale > 600:
+        for i, cpus in enumerate((8, 32, 8, 32, 8, 32)):
+            if i >= 2 and i % 2 == 0 and time.time() - t_scale > 450 * (i // 2):
                 break
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],

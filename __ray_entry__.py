@@ -36,6 +36,20 @@ _STOP_SQL = "('the','a','an','and','or','of','to','in','is','it')"
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 _PUNCT_RE = "[.,!?;:]"
 
+# Shared shingle CTE for the near-dup oracles (q54/q55): per-doc DISTINCT
+# word-3-gram shingle sets, mirroring dedup._shingle_hashes_batch (docs with
+# 0 < W < 3 words collapse to one shingle over all W words; Jaccard over the
+# string sets equals the Ray side's Jaccard over 64-bit shingle hashes up to
+# negligible collision mass — parity verified at sf0.001/sf0.01).
+_SHINGLE_CTE = (
+    "toks AS (SELECT doc_id, source, string_split(lower(text),' ') AS w "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, source, CASE WHEN len(w) >= 3 THEN "
+    "list_distinct([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) "
+    "ELSE [array_to_string(w, ' ')] END AS sset FROM toks), "
+    "ex AS (SELECT doc_id, source, unnest(sset) AS s, len(sset) AS n FROM sh)"
+)
+
 
 def _docs(sf_dir: str, columns=None):
     """documents table; pass ``columns`` to prune at the READ for
@@ -1109,6 +1123,43 @@ def q52_scrub_pii(sf_dir: str):
     )
 
 
+def q54_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS (transitive closure): exact word-3-gram
+    Jaccard >= 0.5 pairs -> connected components (min-label + pointer
+    jumping, `graph.connected_components`) -> (doc_id, cluster_id,
+    cluster_size) for every clustered doc.  SQL oracle: shingle self-join
+    Jaccard + recursive-CTE min-label reachability."""
+    from stocksight_ray.pipelines.graph import dup_clusters
+
+    out = dup_clusters(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q55_cross_dedup(sf_dir: str):
+    """Cross-dataset near-dedup (decontamination by near-duplicate): docs
+    from odd-numbered sources are dropped when their exact word-3-gram
+    Jaccard against ANY even-source doc reaches 0.5
+    (`dedup.cross_dedup`, side-tagged LSH over the union)."""
+    import pyarrow.compute as pc
+
+    from stocksight_ray.pipelines.dedup import cross_dedup
+
+    full = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def parity(want: int):
+        def f(batch: pa.Table) -> pa.Table:
+            p = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 99), pa.int64())
+            return batch.filter(pc.equal(pc.bit_wise_and(p, 1), want))
+        return f
+
+    cand = full.map_batches(parity(1), batch_format="pyarrow")
+    ref = full.map_batches(parity(0), batch_format="pyarrow")
+    out = cross_dedup(cand, ref, threshold=0.5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q51_topk_per_group(sf_dir: str):
     """Nested aggregation (ES sub-agg): top-5 users by summed value per
     event_type — pre-reduced sums + bucketed vectorized per-group head."""
@@ -1133,7 +1184,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q07_metric_nchars": q07_metric_nchars,
         "q08_median_nchars": q08_median_nchars,
         "q09_date_histogram": q09_date_histogram,
-        "q10_event_type_topk": q10_event_type_topk,
         "q11_last_value_per_user": q11_last_value_per_user,
         "q12_pct_change_per_user": q12_pct_change_per_user,
         "q13_lineitem_pricing": q13_lineitem_pricing,
@@ -1157,7 +1207,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_prices_pipeline": q32_prices_pipeline,
         "q33_mod_sample": q33_mod_sample,
         "q34_stratified_head": q34_stratified_head,
-        "q35_normalize": q35_normalize,
         "q36_hash_join": q36_hash_join,
         "q37_bm25_modes": q37_bm25_modes,
         "q38_uniq_users_daily": q38_uniq_users_daily,
@@ -1175,6 +1224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_topk_per_group": q51_topk_per_group,
         "q52_scrub_pii": q52_scrub_pii,
         "q53_hopping_windows": q53_hopping_windows,
+        "q54_dup_clusters": q54_dup_clusters,
+        "q55_cross_dedup": q55_cross_dedup,
     }
 
 
@@ -1185,11 +1236,17 @@ def rotated_queries() -> dict[str, Callable[[str], Any]]:
     still in queries() — q03's token/punct/stopword counts by q04's ratios
     (same kernels, extra arithmetic), q14's orders groupby by q13's richer
     lineitem aggregation (same operator family), q42's global avg by q43's
-    per-key aggregation path.  They stay implemented, oracle-checked by
+    per-key aggregation path, q10's terms_topk by q01/q02 (identical
+    operator, different column), q35's normalize map by the q26 clean
+    chain + q21/q22 per-doc kernels (round 4: these two rotated out to
+    make driver room for the new q54 duplicate-cluster and q55 cross-dedup
+    operators).  They stay implemented, oracle-checked by
     scripts/check_entry.py, and covered by tests."""
     return {
         "q03_text_counts": q03_text_counts,
+        "q10_event_type_topk": q10_event_type_topk,
         "q14_orders_status": q14_orders_status,
+        "q35_normalize": q35_normalize,
         "q42_avg_events_per_user": q42_avg_events_per_user,
     }
 
@@ -1237,10 +1294,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts)/7200)*7200 AS BIGINT) AS bucket, "
             "count(*) AS cnt, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY bucket ORDER BY bucket"
-        ),
-        "q10_event_type_topk": (
-            "SELECT event_type, count(*) AS cnt FROM events "
-            "GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10"
         ),
         "q11_last_value_per_user": (
             "SELECT user_id, value AS last_value FROM ("
@@ -1306,10 +1359,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() "
             "OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
             "WHERE rn <= 20"
-        ),
-        "q35_normalize": (
-            "SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) "
-            "AS text_norm FROM documents"
         ),
         "q36_hash_join": (
             "SELECT o_orderpriority, "
@@ -1403,6 +1452,35 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"
         ),
+        "q54_dup_clusters": (
+            f"WITH RECURSIVE {_SHINGLE_CTE}, "
+            "pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, "
+            "count(*)*1.0/(any_value(a.n)+any_value(b.n)-count(*)) AS j "
+            "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "sym AS (SELECT ida AS a, idb AS b FROM pairs WHERE j >= 0.5 "
+            "UNION ALL SELECT idb, ida FROM pairs WHERE j >= 0.5), "
+            "cc(node, lbl) AS (SELECT DISTINCT a, a FROM sym UNION "
+            "SELECT sym.a, cc.lbl FROM sym JOIN cc ON sym.b = cc.node), "
+            "mincc AS (SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node) "
+            "SELECT m.node AS doc_id, m.cluster_id, s.cluster_size "
+            "FROM mincc m JOIN (SELECT cluster_id, count(*)::BIGINT AS "
+            "cluster_size FROM mincc GROUP BY 1) s USING (cluster_id) "
+            "ORDER BY doc_id"
+        ),
+        "q55_cross_dedup": (
+            f"WITH {_SHINGLE_CTE}, "
+            "hits AS (SELECT c.doc_id AS cid, "
+            "count(*)*1.0/(any_value(c.n)+any_value(r.n)-count(*)) AS j "
+            "FROM ex c JOIN ex r ON c.s = r.s "
+            "WHERE CAST(substr(c.source,4) AS INT) % 2 = 1 "
+            "AND CAST(substr(r.source,4) AS INT) % 2 = 0 "
+            "GROUP BY c.doc_id, r.doc_id), "
+            "dropped AS (SELECT DISTINCT cid FROM hits WHERE j >= 0.5) "
+            "SELECT d.doc_id, d.doc_id NOT IN (SELECT cid FROM dropped) AS keep "
+            "FROM documents d WHERE CAST(substr(d.source,4) AS INT) % 2 = 1 "
+            "ORDER BY doc_id"
+        ),
         "q53_hopping_windows": (
             "WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 AS t FROM events) "
             "SELECT k * 900 AS window_start, event_type, count(*) AS cnt FROM ("
@@ -1452,10 +1530,18 @@ def rotated_oracle_sql() -> dict[str, str]:
             f"len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stopwords "
             "FROM documents"
         ),
+        "q10_event_type_topk": (
+            "SELECT event_type, count(*) AS cnt FROM events "
+            "GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10"
+        ),
         "q14_orders_status": (
             "SELECT o_orderstatus, count(*) AS cnt, "
             "round(sum(o_totalprice), 2) AS sum_totalprice "
             "FROM orders GROUP BY o_orderstatus"
+        ),
+        "q35_normalize": (
+            "SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) "
+            "AS text_norm FROM documents"
         ),
         "q42_avg_events_per_user": (
             "SELECT round(avg(c), 6) AS avg_events FROM ("

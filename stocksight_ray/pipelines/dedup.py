@@ -983,3 +983,96 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         cands, vecs_tbl, id_col, vec_col, verify, num_buckets=nb
     )
     return _min_id_decisions(edges, id_col, num_buckets=nb)
+
+
+# ---------------------------------------------------------------------------
+# cross-dataset near-dedup (decontamination by near-duplicate)
+# ---------------------------------------------------------------------------
+
+def cross_dedup(cand, ref, text_col: str = "text", id_col: str = "doc_id",
+                *, ngram: int = 3, threshold: float = 0.5,
+                num_perm: int = 64, bands: int = 32,
+                num_buckets: Optional[int] = None):
+    """Near-dup filter of one dataset AGAINST another: a candidate doc is
+    dropped when its exact word-n-gram Jaccard against ANY reference doc
+    reaches ``threshold`` (the near-dup complement of ``decontam``'s exact
+    n-gram containment — e.g. scrubbing training docs that near-duplicate
+    an eval set).  Returns (id_col, keep:bool) for EVERY candidate doc.
+
+    Same two-pass LSH layout as minhash_lsh_dedup, run over the UNION of
+    both sides with the side encoded in the low id bit (cand -> 2*id,
+    ref -> 2*id+1): candidate-pair generation and the digest join are
+    shared machinery, and the verify kernel keeps only cross-side pairs.
+    Reference-reference and candidate-candidate collisions cost candidate
+    rows but never an edge.  The drop set is O(matches) and broadcasts via
+    ``ray.put``; neither corpus materializes driver-side.
+
+    Precondition: ``id_col`` unique within each side, and ids < 2**62
+    (the side bit shifts them left once)."""
+    import ray
+
+    rows_per_band = max(1, num_perm // bands)
+    params = _perm_params(num_perm)
+
+    def tag_side(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = _digest_table(
+                batch, id_col, text_col, ngram, params, bands, rows_per_band
+            )
+            comp = pc.add(pc.multiply(t[id_col], pa.scalar(2, pa.int64())),
+                          pa.scalar(side, pa.int64()))
+            return t.set_column(0, id_col, comp)
+        return f
+
+    sigs = (
+        cand.map_batches(tag_side(0), batch_format="pyarrow")
+        .union(ref.map_batches(tag_side(1), batch_format="pyarrow"))
+        .materialize()
+    )
+    from ..geometry import auto_buckets
+
+    nb = num_buckets or auto_buckets(sigs.size_bytes() or None)
+    cands_pairs = _candidate_pairs(
+        sigs.select_columns([id_col, "band_keys"]).map_batches(
+            _explode_band_keys(id_col), batch_format="pyarrow"
+        ),
+        id_col,
+        "cross_dedup",
+        num_buckets=nb,
+    )
+
+    def verify(p: pd.DataFrame) -> pa.Table:
+        dropped = np.array([], dtype=np.int64)
+        if len(p):
+            a = p["a"].to_numpy(np.int64)
+            b = p["b"].to_numpy(np.int64)
+            cross = ((a ^ b) & 1) == 1
+            if cross.any():
+                jacc = _jaccard_from_digests(
+                    p["attr_a"].to_numpy(dtype=object)[cross],
+                    p["attr_b"].to_numpy(dtype=object)[cross],
+                )
+                ac, bc = a[cross], b[cross]
+                hit = jacc >= threshold
+                # the even composite id is the candidate side
+                dropped = np.where((ac & 1) == 0, ac, bc)[hit] >> 1
+        return pa.table({"doc": pa.array(np.unique(dropped))})
+
+    edges = _verify_pairs(
+        cands_pairs, sigs.select_columns([id_col, "digest"]), id_col,
+        "digest", verify, num_buckets=nb,
+    )
+    drop = np.unique(edges.to_pandas()["doc"].to_numpy(np.int64))
+    drop_ref = ray.put(drop)
+
+    def decide(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "keep": pa.array(~np.isin(ids, d)),
+        })
+
+    return cand.select_columns([id_col]).map_batches(
+        decide, batch_format="pyarrow"
+    )

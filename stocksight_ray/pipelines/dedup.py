@@ -295,8 +295,21 @@ PAIR_CAP = 10_000
 _CAP_IDS = 141
 
 
+def _coalesce(ds, num_blocks: Optional[int]):
+    """Pre-shuffle coalesce (the r3 shuffle-geometry rule): Ray's sort-based
+    groupby creates O(in_blocks x out_partitions) intermediates, so every
+    all-to-all in the pair machinery coalesces its input first.  Profiled at
+    471k docs / 1.37M candidate pairs: the verify stage ran 90 s fed by map-
+    stage blocks and 5.7 s after this repartition.  ``num_blocks=None``
+    falls back to one block per CPU."""
+    from ..geometry import shuffle_num_blocks
+
+    return ds.repartition(num_blocks or shuffle_num_blocks(None))
+
+
 def _candidate_pairs(band_ds, id_col: str, op_name: str,
-                     num_buckets: int = NUM_BUCKETS):
+                     num_buckets: int = NUM_BUCKETS,
+                     num_blocks: Optional[int] = None):
     """(band_key, id) rows -> distinct-within-bucket candidate pairs (a < b).
 
     Pairs whose band keys landed in different buckets can still duplicate
@@ -333,7 +346,8 @@ def _candidate_pairs(band_ds, id_col: str, op_name: str,
         })
 
     return (
-        band_ds.map_batches(bucketize, batch_format="pyarrow")
+        _coalesce(band_ds, num_blocks)
+        .map_batches(bucketize, batch_format="pyarrow")
         .groupby("_kb")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -353,7 +367,8 @@ def _explode_band_keys(id_col: str):
 
 
 def _verify_pairs(pairs, attrs, id_col: str, attr_col: str, verify_group,
-                  num_buckets: int = NUM_BUCKETS):
+                  num_buckets: int = NUM_BUCKETS,
+                  num_blocks: Optional[int] = None):
     """Re-unite each candidate pair with BOTH endpoints' payload and run
     ``verify_group`` on the result — in two bucketed shuffles total, with
     the payload table shipped exactly once.
@@ -441,17 +456,16 @@ def _verify_pairs(pairs, attrs, id_col: str, attr_col: str, verify_group,
         )
         return verify_group(s0.merge(s1, on=["a", "b"]))
 
-    unioned = (
+    unioned = _coalesce(
         pairs.map_batches(endpoints, batch_format="pyarrow")
-        .union(attrs.map_batches(payload_rows, batch_format="pyarrow"))
-        .map_batches(bucketize, batch_format="pyarrow")
+        .union(attrs.map_batches(payload_rows, batch_format="pyarrow")),
+        num_blocks,
+    ).map_batches(bucketize, batch_format="pyarrow")
+    attached = _coalesce(
+        unioned.groupby("_kb").map_groups(attach, batch_format="pandas"),
+        num_blocks,
     )
-    return (
-        unioned.groupby("_kb")
-        .map_groups(attach, batch_format="pandas")
-        .groupby("_pb")
-        .map_groups(combine, batch_format="pandas")
-    )
+    return attached.groupby("_pb").map_groups(combine, batch_format="pandas")
 
 
 # Fused (single-shuffle) small-corpus complement of _candidate_pairs +
@@ -466,7 +480,8 @@ FUSE_SIGS_BYTES = 256 << 20  # 256 MiB payload table → ≤ bands × 256 MiB sh
 
 
 def _fused_pair_verify(sigs, id_col: str, attr_col: str, verify_group,
-                       op_name: str, num_buckets: int = NUM_BUCKETS):
+                       op_name: str, num_buckets: int = NUM_BUCKETS,
+                       num_blocks: Optional[int] = None):
     """Explode (id, attr, band_keys) → (band_key, id, attr) rows → one
     bucketed groupby generating AND verifying candidate pairs in place.
     Emitted edges can repeat across buckets (a pair may share several band
@@ -515,7 +530,7 @@ def _fused_pair_verify(sigs, id_col: str, attr_col: str, verify_group,
         return verify_group(pdf)
 
     return (
-        sigs.map_batches(explode, batch_format="pyarrow")
+        _coalesce(sigs.map_batches(explode, batch_format="pyarrow"), num_blocks)
         .groupby("_kb")
         .map_groups(bucket_verify, batch_format="pandas")
     )
@@ -553,7 +568,8 @@ def _min_id_decisions(edges, id_col: str, num_buckets: int = NUM_BUCKETS):
         })
 
     return (
-        edges.map_batches(bucketize, batch_format="pyarrow")
+        _coalesce(edges, None)
+        .map_batches(bucketize, batch_format="pyarrow")
         .groupby("_db")
         .map_groups(decide, batch_format="pandas")
     )
@@ -658,9 +674,12 @@ def minhash_lsh_dedup(
         )
 
     sigs = ds.map_batches(digest_rows, batch_format="pyarrow").materialize()
-    from ..geometry import auto_buckets
+    from ..geometry import auto_buckets, shuffle_num_blocks
 
     nb = num_buckets or auto_buckets(sigs.size_bytes() or None)
+    # the attach step duplicates the payload per pair endpoint; ~4x the
+    # digest table is a serviceable upper bound for block sizing
+    nblk = shuffle_num_blocks(4 * (sigs.size_bytes() or 0) or None)
 
     def verify(p: pd.DataFrame) -> pa.Table:
         doc = np.array([], dtype=np.int64)
@@ -677,7 +696,7 @@ def minhash_lsh_dedup(
     if _pick_mode(sigs, mode):
         edges = _fused_pair_verify(
             sigs, id_col, "digest", verify, "minhash_lsh_dedup",
-            num_buckets=nb,
+            num_buckets=nb, num_blocks=nblk,
         )
     else:
         cands = _candidate_pairs(
@@ -686,11 +705,11 @@ def minhash_lsh_dedup(
             ),
             id_col,
             "minhash_lsh_dedup",
-            num_buckets=nb,
+            num_buckets=nb, num_blocks=nblk,
         )
         edges = _verify_pairs(
             cands, sigs.select_columns([id_col, "digest"]), id_col, "digest",
-            verify, num_buckets=nb,
+            verify, num_buckets=nb, num_blocks=nblk,
         )
     return _min_id_decisions(edges, id_col, num_buckets=nb)
 
@@ -818,13 +837,14 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             neigh = p["a"].to_numpy(np.int64)[hit]
         return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
 
-    from ..geometry import auto_buckets
+    from ..geometry import auto_buckets, shuffle_num_blocks
 
     nb = num_buckets or auto_buckets(sigs.size_bytes() or None)
+    nblk = shuffle_num_blocks(4 * (sigs.size_bytes() or 0) or None)
     if _pick_mode(sigs, mode):
         edges = _fused_pair_verify(
             sigs, id_col, "simhash", verify, "simhash_dedup",
-            num_buckets=nb,
+            num_buckets=nb, num_blocks=nblk,
         )
     else:
         cands = _candidate_pairs(
@@ -833,11 +853,11 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             ),
             id_col,
             "simhash_dedup",
-            num_buckets=nb,
+            num_buckets=nb, num_blocks=nblk,
         )
         edges = _verify_pairs(
             cands, sigs.select_columns([id_col, "simhash"]), id_col,
-            "simhash", verify, num_buckets=nb,
+            "simhash", verify, num_buckets=nb, num_blocks=nblk,
         )
     return _min_id_decisions(edges, id_col, num_buckets=nb)
 
@@ -864,16 +884,17 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     sigs = ds.map_batches(digest_rows, batch_format="pyarrow").materialize()
-    from ..geometry import auto_buckets
+    from ..geometry import auto_buckets, shuffle_num_blocks
 
     nb = num_buckets or auto_buckets(sigs.size_bytes() or None)
+    nblk = shuffle_num_blocks(4 * (sigs.size_bytes() or 0) or None)
     cands = _candidate_pairs(
         sigs.select_columns([id_col, "band_keys"]).map_batches(
             _explode_band_keys(id_col), batch_format="pyarrow"
         ),
         id_col,
         "ngram_jaccard_pairs",
-        num_buckets=nb,
+        num_buckets=nb, num_blocks=nblk,
     )
 
     def verify(p: pd.DataFrame) -> pa.Table:
@@ -894,7 +915,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return _verify_pairs(
         cands, sigs.select_columns([id_col, "digest"]), id_col, "digest",
-        verify, num_buckets=nb,
+        verify, num_buckets=nb, num_blocks=nblk,
     )
 
 
@@ -925,9 +946,10 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     different vectors than it verifies (ADVICE r2)."""
     bits_per_band = num_planes // bands
     vecs_tbl = ds.select_columns([id_col, vec_col]).materialize()
-    from ..geometry import auto_buckets
+    from ..geometry import auto_buckets, shuffle_num_blocks
 
     nb = num_buckets or auto_buckets(vecs_tbl.size_bytes() or None)
+    nblk = shuffle_num_blocks(4 * (vecs_tbl.size_bytes() or 0) or None)
 
     class BandRows:
         def __init__(self):
@@ -958,7 +980,7 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         vecs_tbl.map_batches(BandRows, batch_format="pyarrow", concurrency=2),
         id_col,
         "embedding_dedup",
-        num_buckets=nb,
+        num_buckets=nb, num_blocks=nblk,
     )
 
     def verify(p: pd.DataFrame) -> pa.Table:
@@ -980,7 +1002,8 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         return pa.table({"doc": pa.array(doc), "neighbor": pa.array(neigh)})
 
     edges = _verify_pairs(
-        cands, vecs_tbl, id_col, vec_col, verify, num_buckets=nb
+        cands, vecs_tbl, id_col, vec_col, verify, num_buckets=nb,
+        num_blocks=nblk,
     )
     return _min_id_decisions(edges, id_col, num_buckets=nb)
 
@@ -1029,16 +1052,17 @@ def cross_dedup(cand, ref, text_col: str = "text", id_col: str = "doc_id",
         .union(ref.map_batches(tag_side(1), batch_format="pyarrow"))
         .materialize()
     )
-    from ..geometry import auto_buckets
+    from ..geometry import auto_buckets, shuffle_num_blocks
 
     nb = num_buckets or auto_buckets(sigs.size_bytes() or None)
+    nblk = shuffle_num_blocks(4 * (sigs.size_bytes() or 0) or None)
     cands_pairs = _candidate_pairs(
         sigs.select_columns([id_col, "band_keys"]).map_batches(
             _explode_band_keys(id_col), batch_format="pyarrow"
         ),
         id_col,
         "cross_dedup",
-        num_buckets=nb,
+        num_buckets=nb, num_blocks=nblk,
     )
 
     def verify(p: pd.DataFrame) -> pa.Table:
@@ -1060,7 +1084,7 @@ def cross_dedup(cand, ref, text_col: str = "text", id_col: str = "doc_id",
 
     edges = _verify_pairs(
         cands_pairs, sigs.select_columns([id_col, "digest"]), id_col,
-        "digest", verify, num_buckets=nb,
+        "digest", verify, num_buckets=nb, num_blocks=nblk,
     )
     drop = np.unique(edges.to_pandas()["doc"].to_numpy(np.int64))
     drop_ref = ray.put(drop)

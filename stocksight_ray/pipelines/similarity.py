@@ -220,3 +220,106 @@ def ivf_topk(
     # corpus is stored partitioned-by-bucket, so this filter prunes at the
     # read (file-level) rather than post-scan.
     return brute_force_topk(sub, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def kmeans_fit(ds, k: int = 16, vec_col: str = "embedding",
+               id_col: str = "vec_id", *, iters: int = 5, seed: int = 5,
+               init: Optional[np.ndarray] = None) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) over the FULL corpus.
+
+    ``train_centroids`` fits on a driver-side hash sample — right for IVF
+    bootstrap, but the centroids only see ~sample_n rows.  This refines
+    over every row while keeping the driver state O(k x dim):
+
+    * centroids broadcast once per iteration via ``ray.put``;
+    * ONE ``map_batches`` pass per iteration emits per-block PARTIAL sums
+      (k x dim float64 + k counts — a few KiB per block, the map-side
+      combine pattern used everywhere in this repo before a reduce);
+    * the driver folds O(num_blocks) partial rows — never a corpus
+      collect, never a shuffle;
+    * empty clusters re-seed deterministically from the first block's
+      first rows (stable across partitionings because re-seed uses the
+      globally smallest ``id_col`` rows, fetched via a tiny sorted take).
+
+    Cosine/spherical geometry (inputs and centroids L2-normalized) to
+    match ``ivf_partition``/``ivf_topk``.  Deterministic: seeded init from
+    ``train_centroids`` when ``init`` is None, fixed iteration count, and
+    float64 partial sums folded in block order (block order is made
+    irrelevant by summing per cluster — float addition is reordered
+    between runs only across BLOCK boundaries, so partials are sorted by
+    block id before folding)."""
+    import ray
+
+    cent = (
+        np.asarray(init, dtype=np.float64)
+        if init is not None
+        else train_centroids(ds, nlist=k, vec_col=vec_col, seed=seed,
+                             id_col=id_col)
+    )
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+        kk, dim = cent.shape
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _normalize(_as_matrix(batch[vec_col]))
+            assign = (m @ c.T).argmax(axis=1)
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            # one row per cluster, tagged by the block's smallest id so the
+            # driver fold is order-stable
+            bid = int(batch[id_col][0].as_py()) if batch.num_rows else -1
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int32)),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(counts),
+                "bid": pa.array(np.full(kk, bid, dtype=np.int64)),
+            })
+
+        pdf = (
+            proj.map_batches(partials, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["bid", "cluster"], kind="stable")
+        )
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        counts = np.zeros(kk, dtype=np.int64)
+        for cl, vs, cn in zip(pdf["cluster"], pdf["vsum"], pdf["cnt"]):
+            sums[cl] += np.asarray(vs, dtype=np.float64)
+            counts[cl] += cn
+        new = cent.copy()
+        nonempty = counts > 0
+        v = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new[nonempty] = v / norms
+        if (~nonempty).any():
+            # deterministic re-seed: the globally smallest-id rows
+            reseed = (
+                proj.sort(id_col).limit(int((~nonempty).sum())).to_pandas()
+            )
+            rv = _normalize(
+                np.asarray(list(reseed[vec_col]), dtype=np.float64)
+            )
+            new[~nonempty] = rv[: int((~nonempty).sum())]
+        cent = new
+    return cent
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """(id_col, cluster) assignment Dataset — nearest centroid by cosine,
+    one broadcast map pass (``ivf_partition`` with a slim projection)."""
+    out = ivf_partition(
+        ds.select_columns([id_col, vec_col]), centroids, vec_col=vec_col
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": batch["bucket"].cast(pa.int32()),
+        })
+
+    return out.map_batches(slim, batch_format="pyarrow")

@@ -157,6 +157,7 @@ def run_ops_bench() -> dict:
         "q29_asof_join",
         "q36_hash_join",
         "q38_uniq_users_daily",
+        "q54_dup_clusters",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.time()

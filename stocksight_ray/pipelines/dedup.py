@@ -1065,6 +1065,16 @@ def cross_dedup(cand, ref, text_col: str = "text", id_col: str = "doc_id",
         num_buckets=nb, num_blocks=nblk,
     )
 
+    def cross_only(batch: pa.Table) -> pa.Table:
+        # drop same-side pairs BEFORE the digest join ships payloads for
+        # them — ref-ref and cand-cand collisions are dead weight here
+        keep = pc.equal(
+            pc.bit_wise_and(pc.bit_wise_xor(batch["a"], batch["b"]), 1), 1
+        )
+        return batch.filter(keep)
+
+    cands_pairs = cands_pairs.map_batches(cross_only, batch_format="pyarrow")
+
     def verify(p: pd.DataFrame) -> pa.Table:
         dropped = np.array([], dtype=np.int64)
         if len(p):

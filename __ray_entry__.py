@@ -1160,6 +1160,59 @@ def q55_cross_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q56_delete_compact_search(sf_dir: str):
+    """Index lifecycle: build → tombstone-delete (doc_id ≡ 3 mod 17) →
+    BM25 search with the live-docs filter (stats stale, Lucene semantics)
+    → compact (physical purge + stats rebuild) → search again.  The two
+    phases differ exactly where the semantics say: tombstoned results
+    exclude deleted docs at pre-delete scores; compacted results rescore
+    with the post-delete N/avgdl/df (`index/deletes.py`).  Deterministic;
+    golden oracle."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.deletes import compact, delete_docs
+    from stocksight_ray.index.query import QueryEngine
+
+    out_dir = tempfile.mkdtemp(prefix="q56_index_")
+    try:
+        docs = _docs(sf_dir)
+        build_index(
+            docs, out_dir, text_col="text", id_col="doc_id",
+            num_partitions=8, batch_size=256,
+        )
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.select(["doc_id"]).filter(pa.array(ids % 17 == 3))
+
+        delete_docs(
+            out_dir,
+            docs.select_columns(["doc_id"]).map_batches(
+                pick, batch_format="pyarrow"
+            ),
+        )
+        queries = ["table scan", "window sort merge", "spark query",
+                   "hash join batch", "stream"]
+        frames = []
+        for phase in ("tombstoned", "compacted"):
+            if phase == "compacted":
+                compact(out_dir)
+            eng = QueryEngine(out_dir)
+            for qid, q in enumerate(queries):
+                t = eng.search_table(q, k=10).to_pandas()
+                t.insert(0, "query_id", qid)
+                t.insert(0, "phase", phase)
+                frames.append(t)
+        res = pd.concat(frames, ignore_index=True)
+        res["score"] = res["score"].round(6)
+        return res
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q51_topk_per_group(sf_dir: str):
     """Nested aggregation (ES sub-agg): top-5 users by summed value per
     event_type — pre-reduced sums + bucketed vectorized per-group head."""
@@ -1181,7 +1234,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q04_text_ratios": q04_text_ratios,
         "q05_exact_dedup": q05_exact_dedup,
         "q06_admission": q06_admission,
-        "q07_metric_nchars": q07_metric_nchars,
         "q08_median_nchars": q08_median_nchars,
         "q09_date_histogram": q09_date_histogram,
         "q11_last_value_per_user": q11_last_value_per_user,
@@ -1226,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_hopping_windows": q53_hopping_windows,
         "q54_dup_clusters": q54_dup_clusters,
         "q55_cross_dedup": q55_cross_dedup,
+        "q56_delete_compact_search": q56_delete_compact_search,
     }
 
 
@@ -1240,10 +1293,13 @@ def rotated_queries() -> dict[str, Callable[[str], Any]]:
     operator, different column), q35's normalize map by the q26 clean
     chain + q21/q22 per-doc kernels (round 4: these two rotated out to
     make driver room for the new q54 duplicate-cluster and q55 cross-dedup
-    operators).  They stay implemented, oracle-checked by
-    scripts/check_entry.py, and covered by tests."""
+    operators), q07's single-column metric aggs by q13's richer multi-
+    aggregate lineitem pricing (same metric-agg operator family; rotated
+    for the q56 index delete/compact lifecycle).  They stay implemented,
+    oracle-checked by scripts/check_entry.py, and covered by tests."""
     return {
         "q03_text_counts": q03_text_counts,
+        "q07_metric_nchars": q07_metric_nchars,
         "q10_event_type_topk": q10_event_type_topk,
         "q14_orders_status": q14_orders_status,
         "q35_normalize": q35_normalize,
@@ -1282,10 +1338,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q06_admission": (
             "SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) >= 50"
-        ),
-        "q07_metric_nchars": (
-            "SELECT count(*) AS cnt, round(avg(n_chars), 6) AS avg_n_chars, "
-            "min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars FROM documents"
         ),
         "q08_median_nchars": (
             "SELECT CAST(median(n_chars) AS DOUBLE) AS median_n_chars FROM documents"
@@ -1397,7 +1449,7 @@ def oracle_sql() -> dict[str, str]:
                 "q31_url_extract", "q32_prices_pipeline", "q37_bm25_modes",
                 "q40_hll_distinct", "q41_pack_sequences",
                 "q44_link_score_fold", "q52_scrub_pii",
-                "q39_quantile_sketch",
+                "q39_quantile_sketch", "q56_delete_compact_search",
             )
         },
         "q45_sessionize": (
@@ -1529,6 +1581,10 @@ def rotated_oracle_sql() -> dict[str, str]:
             f"len(regexp_extract_all(text, '{_PUNCT_RE}')) AS n_punct, "
             f"len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stopwords "
             "FROM documents"
+        ),
+        "q07_metric_nchars": (
+            "SELECT count(*) AS cnt, round(avg(n_chars), 6) AS avg_n_chars, "
+            "min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars FROM documents"
         ),
         "q10_event_type_topk": (
             "SELECT event_type, count(*) AS cnt FROM events "

@@ -129,6 +129,27 @@ class QueryEngine:
             and self._norm_ids[-1] == self._norm_ids.size - 1
         )
 
+        # tombstoned doc_ids (index/deletes.py): sorted array, O(deletes)
+        # memory — every scorer path filters against it exactly; N/avgdl/df
+        # stay the manifest's (stale-until-compact, Lucene live-docs
+        # semantics) so scores of surviving docs are unchanged by a delete.
+        from .deletes import load_deletes
+
+        self._deleted = load_deletes(index_dir)
+
+    def refresh_deletes(self) -> int:
+        """Re-read the tombstone set (after a delete_docs on a live
+        engine).  Returns the number of tombstoned ids."""
+        from .deletes import load_deletes
+
+        self._deleted = load_deletes(self.index_dir)
+        return int(self._deleted.size)
+
+    def _live(self, docs: np.ndarray) -> np.ndarray:
+        from .deletes import live_mask
+
+        return live_mask(self._deleted, docs)
+
     # ------------------------------------------------------------------
     def doc_lens(self, docids: np.ndarray) -> np.ndarray:
         if self._dense:
@@ -225,6 +246,9 @@ class QueryEngine:
         idx = np.flatnonzero(touched)
         scores = acc[idx]
         docs = idx if self._dense else self._norm_ids[idx]
+        if self._deleted.size:
+            m = self._live(docs)
+            docs, scores = docs[m], scores[m]
         order = np.lexsort((docs, -scores))[:k]  # (-score, doc_id)
         return [(int(docs[i]), float(scores[i])) for i in order]
 
@@ -297,6 +321,14 @@ class QueryEngine:
                 continue
             scores = acc[idx]
             docs = idx + a
+            if self._deleted.size:
+                # mask BEFORE theta pruning/merge — ub-based window skips
+                # above remain safe (bounds only overestimate; removing
+                # docs can never raise a window's best score)
+                m = self._live(docs)
+                scores, docs = scores[m], docs[m]
+                if scores.size == 0:
+                    continue
             # prune before sorting: only candidates that can enter the top-k
             # (>= keeps score ties so doc_id tie-break stays exact)
             if top_scores.size >= k:
@@ -430,6 +462,17 @@ class QueryEngine:
             if pivot_idx == -1:
                 break  # no prefix can beat theta
             pivot_doc = live[pivot_idx].cur_doc(self)
+            if self._deleted.size and not self._live(
+                np.array([pivot_doc], dtype=np.int64)
+            )[0]:
+                # tombstoned pivot: never scored; every cursor sitting on it
+                # (at least live[pivot_idx]) skips past.  Docs below the
+                # pivot stay safe to skip — only sub-theta prefixes can
+                # score them, same argument as the undeleted pivot move.
+                for c in live:
+                    if c.cur_doc(self) == pivot_doc:
+                        c.advance_past(pivot_doc, self)
+                continue
             if live[0].cur_doc(self) == pivot_doc:
                 # all cursors up to pivot aligned on pivot_doc → score it,
                 # summing in query-term order (same float order as the
@@ -476,6 +519,10 @@ class QueryEngine:
             ids, tfs = p.full()
             decoded[t] = (ids, tfs)
             cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
+            if cand.size == 0:
+                return []
+        if self._deleted.size:
+            cand = cand[self._live(cand)]
             if cand.size == 0:
                 return []
         # score candidates in query-term order (same float order as OR path)

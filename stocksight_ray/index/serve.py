@@ -137,6 +137,16 @@ class SegmentEngine:
         self._ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
         self._lens = norms["doc_len"].to_numpy(zero_copy_only=False).astype("int32")
 
+        # tombstones restricted to THIS shard's id range (deletes.py) —
+        # same exact filter as the global engine, so sharded serving stays
+        # rank-identical to it under deletes
+        from .deletes import load_deletes
+
+        self._deleted = load_deletes(
+            out_dir,
+            int(self.lineage["doc_id_lo"]), int(self.lineage["doc_id_hi"]),
+        )
+
     def warm(self) -> None:
         """Pre-decode every term's postings AND pre-resolve its scatter
         positions + full BM25 contribution vector (idf x tf-norm — both
@@ -199,6 +209,11 @@ class SegmentEngine:
             return []
         scores = acc[idx]
         docs = self._ids[idx]
+        if self._deleted.size:
+            from .deletes import live_mask
+
+            m = live_mask(self._deleted, docs)
+            docs, scores = docs[m], scores[m]
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 

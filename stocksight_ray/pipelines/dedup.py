@@ -422,7 +422,14 @@ def _verify_pairs(pairs, attrs, id_col: str, attr_col: str, verify_group,
         return batch.append_column("_kb", kb)
 
     def attach(g: pd.DataFrame) -> pa.Table:
-        e = g[g["_tag"] == 0]
+        # a candidate pair repeats once per shared band key (up to `bands`
+        # times); its two endpoint rows have fixed keys (k=a / k=b), so
+        # bucket-local distinct here collapses ALL repeats of an endpoint —
+        # BEFORE the payload merge.  Without this, every repeat carries the
+        # full payload through the second shuffle (measured 37 candidate
+        # rows/doc on the 92k-doc webtext corpus with 32 aggressive bands —
+        # the repeats, not the distinct pairs, were the volume).
+        e = g[g["_tag"] == 0].drop_duplicates(["k", "a", "b"])
         d = g[g["_tag"] == 1].drop_duplicates("k")
         if e.empty or d.empty:
             return pa.table({
@@ -868,13 +875,25 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         *, ngram: int = 3, threshold: float = 0.5,
-                        num_perm: int = 64, bands: int = 32,
+                        num_perm: int = 64, bands: int = 16,
                         num_buckets: Optional[int] = None):
     """All (near-)similar pairs with exact word-n-gram Jaccard >= threshold.
-    Candidates via aggressive LSH (many bands -> high recall at lower
-    thresholds); output (a, b, jacc) with a < b, each pair verified once
-    (the verify stage collapses cross-bucket duplicates).  Same two-pass
-    digest-join layout as minhash_lsh_dedup."""
+    Candidates via LSH, output (a, b, jacc) with a < b, each pair verified
+    once (the verify stage collapses cross-bucket duplicates).  Same
+    two-pass digest-join layout as minhash_lsh_dedup.
+
+    Banding is the recall/volume knob and the default is CALIBRATED to the
+    default threshold: 16 bands x 4 rows puts the LSH S-curve crossover at
+    (1/16)^(1/4) = 0.5, so recall is ~1 for pairs comfortably above the
+    threshold (>= 0.999998 at jacc 0.9) and decays only in the marginal
+    band just above it.  The earlier 32 x 2 default (crossover 0.18) was
+    recall-maxed but precision-free on correlated corpora: measured on the
+    460k-doc webtext corpus it generated 22.8M DISTINCT candidate pairs
+    (~50/doc, nearly all far below threshold), each shipping two full
+    digests into the verify join — candidate volume, not verify CPU, was
+    the scale ceiling.  Raise ``bands`` (lower rows/band) only when you
+    need recall for pairs NEAR the threshold and can afford the
+    quadratic-in-collisions candidate volume."""
     rows_per_band = max(1, num_perm // bands)
     params = _perm_params(num_perm)
 
@@ -1014,7 +1033,7 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
 def cross_dedup(cand, ref, text_col: str = "text", id_col: str = "doc_id",
                 *, ngram: int = 3, threshold: float = 0.5,
-                num_perm: int = 64, bands: int = 32,
+                num_perm: int = 64, bands: int = 16,
                 num_buckets: Optional[int] = None):
     """Near-dup filter of one dataset AGAINST another: a candidate doc is
     dropped when its exact word-n-gram Jaccard against ANY reference doc

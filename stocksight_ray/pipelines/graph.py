@@ -272,7 +272,7 @@ def dup_clusters(
     ngram: int = 3,
     threshold: float = 0.5,
     num_perm: int = 64,
-    bands: int = 32,
+    bands: int = 16,
     num_buckets: Optional[int] = None,
 ):
     """Near-duplicate clusters over a corpus: every doc that belongs to a

@@ -1,9 +1,12 @@
 """Tombstone deletes + segment compaction for the committed index.
 
-The reference's Elasticsearch backend supports document deletes natively
-(Lucene live-docs bitsets: a delete marks the docid, queries filter it, and
-stats stay stale until a segment merge purges it).  This module is the
-Ray-native analogue over the parquet index layout of build.py/segments.py:
+The reference's Elasticsearch backend supports document deletes natively —
+every doc it indexes via ``es.index`` (/root/reference/sentiment.py:227,
+/root/reference/stockprice.py:91) can be deleted/updated through ES, and
+Lucene implements that with live-docs bitsets: a delete marks the docid,
+queries filter it, and stats stay stale until a segment merge purges it.
+This module is the Ray-native analogue over the parquet index layout of
+build.py/segments.py:
 
 * ``delete_docs(out_dir, ids)`` records tombstones under
   ``out_dir/deletes/del-{bucket:05d}.parquet`` (sorted unique int64

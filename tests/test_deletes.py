@@ -115,6 +115,50 @@ def test_compact_equals_filtered_rebuild(ray_session, corpus, victim_ids, tmp_pa
         assert got.search_and(q, k=10) == exp.search_and(q, k=10)
 
 
+def test_deletes_survive_incremental_append(ray_session, tmp_path):
+    """Tombstones stay valid across an incremental append: new shards fold
+    in (reusing committed ones), assemble refreshes the global index, and
+    queries still exclude the tombstoned docs.  Compacting afterwards
+    purges them while keeping the appended docs."""
+    import pyarrow as pa
+
+    from stocksight_ray.index.segments import build_resumable
+
+    def mk_docs(lo, hi, seed_word):
+        return pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": pa.array(
+                [f"{seed_word} market stock document number {i} with "
+                 f"earnings data" for i in range(lo, hi)],
+                pa.string(),
+            ),
+        })
+
+    out = str(tmp_path / "incr")
+    build_resumable(
+        rd.from_arrow(mk_docs(0, 300, "alpha")), out, text_col="text",
+        num_partitions=4, salt_range=128, shard_docs=128, batch_size=64,
+    )
+    victims = [5, 17, 100, 255]
+    delete_docs(out, victims)
+
+    m2 = build_resumable(
+        rd.from_arrow(mk_docs(0, 500, "alpha")), out, text_col="text",
+        num_partitions=4, salt_range=128, shard_docs=128, batch_size=64,
+    )
+    assert m2["num_docs"] == 500  # stale-until-compact (appended docs in)
+    eng = QueryEngine(out)
+    hits = {d for d, _ in eng.search("market stock earnings", k=1 << 20)}
+    assert not set(victims) & hits
+    assert len(hits) == 500 - len(victims)
+
+    manifest = compact(out)
+    assert manifest["num_docs"] == 500 - len(victims)
+    eng = QueryEngine(out)
+    hits = {d for d, _ in eng.search("market stock earnings", k=1 << 20)}
+    assert not set(victims) & hits and len(hits) == 500 - len(victims)
+
+
 def test_sharded_deletes_and_compact(ray_session, corpus, victim_ids, tmp_path):
     from stocksight_ray.index.segments import build_resumable
     from stocksight_ray.index.serve import ShardedQueryService

@@ -623,6 +623,60 @@ class QueryEngine:
             rows.sort(key=lambda r: (r[1], r[0]))
         return rows[:k]
 
+    def search_filtered(
+        self, query: str, k: int = 10, *,
+        filters: List[Tuple[str, str, object]],
+        docs_path: Optional[str] = None, mode: str = "or",
+    ) -> List[Tuple[int, float]]:
+        """ES bool query with FILTER CONTEXT (the reference's Kibana phrase
+        filters, e.g. ``_type: tweet`` at /root/reference/export.json:40,82
+        combined with the match query): score with BM25 as usual, admit
+        only docs satisfying every metadata predicate, scores unaffected
+        by the filter (non-scoring filter context, exactly ES).
+
+        filters: [(column, op, value)] with op in
+        {"==", "!=", "<", "<=", ">", ">=", "in"}.  The predicate is pushed
+        down into the docs-parquet read (row-group pruning) and only the
+        doc_id column of PASSING rows is fetched — a serving shard reads
+        only its id range's row groups."""
+        import pyarrow.dataset as pads
+
+        docs_path = docs_path or self.manifest.get("docs_path")
+        if docs_path is None:
+            raise ValueError("search_filtered needs docs_path (or manifest docs_path)")
+        if mode == "and":
+            cand = self._search_and_terms(self.analyze_query(query), k=1 << 30)
+        else:
+            cand = self.search(query, k=1 << 30, method="exhaustive")
+        if not cand:
+            return []
+
+        expr = None
+        for col, op, val in filters:
+            f = pads.field(col)
+            e = (f == val if op == "==" else f != val if op == "!=" else
+                 f < val if op == "<" else f <= val if op == "<=" else
+                 f > val if op == ">" else f >= val if op == ">=" else
+                 f.isin(val) if op == "in" else None)
+            if e is None:
+                raise ValueError(f"unsupported filter op {op!r}")
+            expr = e if expr is None else expr & e
+        from .. import fsio
+
+        _dfs, _dpath = fsio.resolve(docs_path)
+        allowed = (
+            pads.dataset(_dpath, filesystem=_dfs)
+            .to_table(columns=["doc_id"], filter=expr)["doc_id"]
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        allowed.sort(kind="stable")
+        ids = np.array([d for d, _ in cand], dtype=np.int64)
+        pos = np.searchsorted(allowed, ids)
+        ok = (pos < allowed.size) & (allowed[np.minimum(pos, max(allowed.size - 1, 0))] == ids) if allowed.size else np.zeros(ids.size, bool)
+        hits = [cand[i] for i in np.flatnonzero(ok)]
+        hits.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return hits[:k]
+
     def highlight(self, text: str, query: str, pre: str = "<em>", post: str = "</em>") -> str:
         """Kibana-style highlightAll: wrap every word whose ANALYZED form
         matches an analyzed query term (so stemming variants highlight too,

@@ -209,6 +209,58 @@ def test_search_sorted_by_metadata(ray_session, small_index, tmp_path):
     assert [d for d, _ in asc] == sorted(match_ids)[:3]
 
 
+def test_search_filtered(ray_session, small_index, tmp_path):
+    """ES bool filter-context parity: metadata predicates admit docs
+    without touching scores (the Kibana `_type: tweet` phrase-filter
+    pattern)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stocksight_ray.index.query import QueryEngine
+
+    out, texts = small_index
+    docs_path = os.path.join(str(tmp_path), "docs_flt.parquet")
+    kinds = ["tweet" if i % 2 == 0 else "news" for i in range(len(texts))]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "views": pa.array([10 * i for i in range(len(texts))], pa.int64()),
+        }),
+        docs_path,
+    )
+    eng = QueryEngine(out)
+    base = eng.search("market", k=100, method="exhaustive")
+    scores = dict(base)
+
+    got = eng.search_filtered(
+        "market", k=10, filters=[("kind", "==", "tweet")], docs_path=docs_path
+    )
+    exp = [(d, s) for d, s in base if kinds[d] == "tweet"]
+    assert got == exp  # scores unchanged, order preserved, filter exact
+
+    got = eng.search_filtered(
+        "market", k=10,
+        filters=[("kind", "==", "tweet"), ("views", ">=", 20)],
+        docs_path=docs_path,
+    )
+    assert got == [(d, s) for d, s in base if kinds[d] == "tweet" and 10 * d >= 20]
+
+    got = eng.search_filtered(
+        "market", k=10, filters=[("kind", "in", ["news"])], docs_path=docs_path
+    )
+    assert got == [(d, s) for d, s in base if kinds[d] == "news"]
+    assert all(scores[d] == s for d, s in got)
+
+    assert eng.search_filtered(
+        "market", k=10, filters=[("views", "<", 0)], docs_path=docs_path
+    ) == []
+    with pytest.raises(ValueError):
+        eng.search_filtered("market", filters=[("kind", "~", "x")],
+                            docs_path=docs_path)
+
+
 def test_highlight(ray_session, small_index):
     from stocksight_ray.index.query import QueryEngine
 

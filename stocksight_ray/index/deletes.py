@@ -219,7 +219,11 @@ def compact(out_dir: str) -> dict:
     index (no segments): the global partition files and norms are purged in
     place and the manifest's corpus stats rewritten.  Tombstones are
     cleared LAST (a crash re-runs compaction idempotently: purging an
-    already-purged file is a no-op).  Returns the new manifest."""
+    already-purged file is a no-op).  Single-writer maintenance op: like a
+    Lucene merge, it must not run concurrently with another writer, and
+    serving engines should be (re)constructed after it completes — per-file
+    writes are atomic but the index directory as a whole is rewritten.
+    Returns the new manifest."""
     import ray.data as rd
 
     from .. import fsio

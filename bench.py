@@ -158,6 +158,7 @@ def run_ops_bench() -> dict:
         "q36_hash_join",
         "q38_uniq_users_daily",
         "q54_dup_clusters",
+        "q55_cross_dedup",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.time()

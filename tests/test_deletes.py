@@ -80,6 +80,30 @@ def test_deletes_filter_every_path(ray_session, corpus, victim_ids, tmp_path):
         assert not del_set & {d for d, _ in and_res}, (q, "and")
 
 
+def test_delete_entire_topk_surfaces_next_tier(ray_session, corpus, tmp_path):
+    """Deleting ALL of a query's top-k must surface the next tier with
+    identical scores in every scorer — the harshest case for the block-max
+    window skips and WAND theta pruning (their upper bounds still include
+    the deleted docs, which is safe but must not drop live ones)."""
+    out = str(tmp_path / "idx")
+    _build(corpus, out)
+    pre = QueryEngine(out)
+    for q in QUERIES:
+        full = pre.search(q, k=1 << 20, method="exhaustive")
+        if len(full) < 15:
+            continue
+        top10 = [d for d, _ in full[:10]]
+        delete_docs(out, top10)
+        eng = QueryEngine(out)
+        expected = [(d, s) for d, s in full if d not in set(top10)][:10]
+        for m in METHODS:
+            assert eng.search(q, k=10, method=m) == expected, (q, m)
+        # reset tombstones for the next query's clean slate
+        from stocksight_ray.index.deletes import clear_deletes
+
+        clear_deletes(out)
+
+
 def test_delete_docs_idempotent_and_unions(ray_session, corpus, victim_ids, tmp_path):
     out = str(tmp_path / "idx")
     _build(corpus, out)

@@ -242,56 +242,70 @@ def compact(out_dir: str) -> dict:
             if np.searchsorted(deleted_all, s["doc_id_hi"])
             > np.searchsorted(deleted_all, s["doc_id_lo"])
         ]
-        work = [
-            {"shard": int(s["shard"]), "lo": int(s["doc_id_lo"]),
-             "hi": int(s["doc_id_hi"])}
-            for s in touched
-        ]
+        # one work item per (shard, file): every partition file purges in
+        # its own task, so compaction parallelism is shards x partitions,
+        # not shards.  Safe without ordering: a part task looks up doc
+        # lengths only for SURVIVING docids, which the norms file contains
+        # identically before and after its own rewrite, and fsio writes are
+        # atomic (tmp+rename) so a concurrent reader never sees a partial
+        # file.  The norms item also rewrites the lineage doc counts.
+        work = []
+        for s in touched:
+            seg = fsio.join(out_dir, "segments", f"shard-{int(s['shard']):05d}")
+            names = ["norms.parquet"] + [
+                n for n in fsio.listdir(seg)
+                if n.startswith("part-") and n.endswith(".parquet")
+            ]
+            work += [
+                {"shard": int(s["shard"]), "lo": int(s["doc_id_lo"]),
+                 "hi": int(s["doc_id_hi"]), "name": n}
+                for n in names
+            ]
 
-        def purge_shard(batch: pa.Table) -> pa.Table:
+        def purge_file(batch: pa.Table) -> pa.Table:
             from .. import fsio as _fsio
 
-            out = {"shard": [], "n_docs": [], "total_terms": []}
-            for shard, lo, hi in zip(
+            out = {"shard": [], "name": []}
+            for shard, lo, hi, name in zip(
                 batch["shard"].to_pylist(), batch["lo"].to_pylist(),
-                batch["hi"].to_pylist(),
+                batch["hi"].to_pylist(), batch["name"].to_pylist(),
             ):
                 seg = _fsio.join(out_dir, "segments", f"shard-{shard:05d}")
                 dele = load_deletes(out_dir, lo, hi)
                 norms = _fsio.read_table(_fsio.join(seg, "norms.parquet"))
                 ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
                 lens = norms["doc_len"].to_numpy(zero_copy_only=False)
-                keep = live_mask(dele, ids)
-                _fsio.write_table_atomic(
-                    pa.table({
-                        "doc_id": pa.array(ids[keep], pa.int64()),
-                        "doc_len": pa.array(lens[keep], norms["doc_len"].type),
-                    }),
-                    _fsio.join(seg, "norms.parquet"),
-                )
-                for name in _fsio.listdir(seg):
-                    if not (name.startswith("part-") and name.endswith(".parquet")):
-                        continue
+                if name == "norms.parquet":
+                    keep = live_mask(dele, ids)
+                    _fsio.write_table_atomic(
+                        pa.table({
+                            "doc_id": pa.array(ids[keep], pa.int64()),
+                            "doc_len": pa.array(lens[keep], norms["doc_len"].type),
+                        }),
+                        _fsio.join(seg, "norms.parquet"),
+                    )
+                    lin = _fsio.read_json(_fsio.join(seg, "lineage.json"))
+                    lin["n_docs"] = int(keep.sum())
+                    lin["total_terms"] = int(np.asarray(lens)[keep].sum())
+                    lin["compacted_deletes"] = int(
+                        lin.get("compacted_deletes", 0) + (~keep).sum()
+                    )
+                    _fsio.write_json_atomic(
+                        lin, _fsio.join(seg, "lineage.json"), indent=1
+                    )
+                else:
                     path = _fsio.join(seg, name)
                     purged = _purge_postings_table(
                         _fsio.read_table(path), dele, ids, lens
                     )
                     _fsio.write_table_atomic(purged, path)
-                lin = _fsio.read_json(_fsio.join(seg, "lineage.json"))
-                lin["n_docs"] = int(keep.sum())
-                lin["total_terms"] = int(np.asarray(lens)[keep].sum())
-                lin["compacted_deletes"] = int(
-                    lin.get("compacted_deletes", 0) + (~keep).sum()
-                )
-                _fsio.write_json_atomic(lin, _fsio.join(seg, "lineage.json"), indent=1)
                 out["shard"].append(shard)
-                out["n_docs"].append(lin["n_docs"])
-                out["total_terms"].append(lin["total_terms"])
+                out["name"].append(name)
             return pa.table({k: pa.array(v) for k, v in out.items()})
 
         if work:
             rd.from_items(work).map_batches(
-                purge_shard, batch_format="pyarrow", batch_size=1
+                purge_file, batch_format="pyarrow", batch_size=1
             ).materialize()
         clear_deletes(out_dir)
         from .segments import assemble

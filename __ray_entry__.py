@@ -42,7 +42,12 @@ _PUNCT_RE = "[.,!?;:]"
 # string sets equals the Ray side's Jaccard over 64-bit shingle hashes up to
 # negligible collision mass — parity verified at sf0.001/sf0.01).
 _SHINGLE_CTE = (
-    "toks AS (SELECT doc_id, source, string_split(lower(text),' ') AS w "
+    # whitespace-run regex split with empties dropped == Python str.split()
+    # (the pipeline's tokenization in dedup._word_hashes_flat); a plain
+    # string_split on ' ' would keep empty tokens on double spaces and not
+    # split tabs/newlines
+    "toks AS (SELECT doc_id, source, "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w "
     "FROM documents), "
     "sh AS (SELECT doc_id, source, CASE WHEN len(w) >= 3 THEN "
     "list_distinct([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) "
@@ -274,7 +279,9 @@ def q14_orders_status(sf_dir: str):
 
 
 # Per-worker probe-Series cache for q15's broadcast join (built once per
-# worker process from the zero-copy Arrow broadcast, keyed by object ref).
+# worker process from the zero-copy Arrow broadcast).  SINGLE slot keyed by
+# the object ref: each q15 invocation ray.puts a fresh table, so a dict
+# keyed by ref would grow one customer-sized Series per run per worker.
 _Q15_LUT_CACHE: dict = {}
 
 
@@ -302,14 +309,16 @@ def q15_orders_mktsegment(sf_dir: str):
 
     def join_combine(batch: pa.Table) -> pa.Table:
         key = lookup_ref.hex()
-        lut = _Q15_LUT_CACHE.get(key)
-        if lut is None:
+        if _Q15_LUT_CACHE.get("key") == key:
+            lut = _Q15_LUT_CACHE["lut"]
+        else:
             t = ray.get(lookup_ref)  # zero-copy Arrow read
             lut = pd.Series(
                 t["c_mktsegment"].to_numpy(zero_copy_only=False),
                 index=t["c_custkey"].to_numpy(),
             )
-            _Q15_LUT_CACHE[key] = lut
+            _Q15_LUT_CACHE.clear()
+            _Q15_LUT_CACHE.update({"key": key, "lut": lut})
         # C-level probe (VERDICT r3 #7): reindex on the broadcast Series
         # replaces the per-row dict.get loop; misses come back NaN -> null
         segs = pa.array(

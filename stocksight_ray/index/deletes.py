@@ -89,7 +89,13 @@ def _normalize_ids(ids, id_col: str) -> np.ndarray:
 
 def delete_docs(out_dir: str, ids, *, id_col: str = "doc_id") -> dict:
     """Tombstone the given doc_ids.  Idempotent (re-deleting is a no-op
-    union).  Returns {n_requested, n_new, buckets_touched, n_total}."""
+    union).  Single-writer like every mutation in this index (build,
+    append, compact): the per-bucket update is read-union-write with an
+    atomic replace, so two CONCURRENT delete_docs calls hitting the same
+    bucket would last-write-win and drop the other's ids — serialize
+    deletes through one maintenance process, batching ids per call (the
+    Dataset input exists for exactly that).
+    Returns {n_requested, n_new, buckets_touched, n_total}."""
     from .. import fsio
 
     arr = _normalize_ids(ids, id_col)
@@ -307,15 +313,21 @@ def compact(out_dir: str) -> dict:
             rd.from_items(work).map_batches(
                 purge_file, batch_format="pyarrow", batch_size=1
             ).materialize()
-        clear_deletes(out_dir)
         from .segments import assemble
 
-        return assemble(
+        new_manifest = assemble(
             out_dir,
             analyzer=manifest["analyzer"],
             num_partitions=int(manifest["num_partitions"]),
             salt_range=int(manifest.get("salt_range", 1 << 62)),
         )
+        # tombstones clear only after assemble commits the purged global
+        # index — a crash anywhere above re-runs compaction idempotently
+        # (re-purging purged files is a no-op), and engines constructed in
+        # the window still filter correctly (stale tombstones point at
+        # already-absent docs, a harmless no-op mask)
+        clear_deletes(out_dir)
+        return new_manifest
 
     # ---- single-pass layout: purge global partitions + norms directly ----
     import pyarrow.dataset as pads

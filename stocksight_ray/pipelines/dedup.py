@@ -221,6 +221,12 @@ def _band_keys(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     """(D, bands) int64 band keys: band index in the high 32 bits, a mixed
     32-bit fold of the band's signature rows in the low 32 (replaces the
     round-3 per-doc-per-band ``zlib.crc32(struct.pack(...))`` loop)."""
+    if rows_per_band < 1 or bands * rows_per_band > sig.shape[0]:
+        raise ValueError(
+            f"bands x rows_per_band ({bands} x {rows_per_band}) exceeds the "
+            f"signature width {sig.shape[0]} — use bands <= num_perm (every "
+            "entry point derives rows_per_band = num_perm // bands)"
+        )
     D = sig.shape[1]
     keys = np.empty((D, bands), np.int64)
     with np.errstate(over="ignore"):

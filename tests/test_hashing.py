@@ -71,3 +71,19 @@ def test_custom_seed_decorrelates_pandas(monkeypatch):
     # equal keys still collide under any one seed
     c = hashing.hash_strings(["x", "x"], seed=7)
     assert c[0] == c[1]
+
+
+def test_band_keys_validates_config():
+    """bands x rows_per_band must fit the signature width, and zero-row
+    bands (bands > num_perm) are a config error, not a degenerate
+    all-collide band key."""
+    import pytest
+
+    from stocksight_ray.pipelines.dedup import _band_keys
+
+    sig = np.zeros((8, 3), np.uint64)
+    assert _band_keys(sig, bands=4, rows_per_band=2).shape == (3, 4)
+    with pytest.raises(ValueError):
+        _band_keys(sig, bands=16, rows_per_band=1)
+    with pytest.raises(ValueError):
+        _band_keys(sig, bands=4, rows_per_band=0)

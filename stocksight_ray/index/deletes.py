@@ -248,27 +248,24 @@ def compact(out_dir: str) -> dict:
             if np.searchsorted(deleted_all, s["doc_id_hi"])
             > np.searchsorted(deleted_all, s["doc_id_lo"])
         ]
-        # one work item per (shard, file): every partition file purges in
-        # its own task, so compaction parallelism is shards x partitions,
-        # not shards.  Safe without ordering: a part task looks up doc
-        # lengths only for SURVIVING docids, which the norms file contains
-        # identically before and after its own rewrite, and fsio writes are
-        # atomic (tmp+rename) so a concurrent reader never sees a partial
-        # file.  The norms item also rewrites the lineage doc counts.
+        # PHASE 1 — one work item per (shard, part file): every partition
+        # file purges in its own task, so compaction parallelism is
+        # shards x partitions, not shards.  Norms are only READ here (for
+        # doc-length lookups); they rewrite in phase 2, after the barrier —
+        # a tmp+rename replace is atomic, but a concurrent pyarrow read can
+        # stat the old file and open the new one (observed torn read), so
+        # the two phases never overlap on the same file.
         work = []
         for s in touched:
             seg = fsio.join(out_dir, "segments", f"shard-{int(s['shard']):05d}")
-            names = ["norms.parquet"] + [
-                n for n in fsio.listdir(seg)
-                if n.startswith("part-") and n.endswith(".parquet")
-            ]
             work += [
                 {"shard": int(s["shard"]), "lo": int(s["doc_id_lo"]),
                  "hi": int(s["doc_id_hi"]), "name": n}
-                for n in names
+                for n in fsio.listdir(seg)
+                if n.startswith("part-") and n.endswith(".parquet")
             ]
 
-        def purge_file(batch: pa.Table) -> pa.Table:
+        def purge_part_file(batch: pa.Table) -> pa.Table:
             from .. import fsio as _fsio
 
             out = {"shard": [], "name": []}
@@ -281,38 +278,44 @@ def compact(out_dir: str) -> dict:
                 norms = _fsio.read_table(_fsio.join(seg, "norms.parquet"))
                 ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
                 lens = norms["doc_len"].to_numpy(zero_copy_only=False)
-                if name == "norms.parquet":
-                    keep = live_mask(dele, ids)
-                    _fsio.write_table_atomic(
-                        pa.table({
-                            "doc_id": pa.array(ids[keep], pa.int64()),
-                            "doc_len": pa.array(lens[keep], norms["doc_len"].type),
-                        }),
-                        _fsio.join(seg, "norms.parquet"),
-                    )
-                    lin = _fsio.read_json(_fsio.join(seg, "lineage.json"))
-                    lin["n_docs"] = int(keep.sum())
-                    lin["total_terms"] = int(np.asarray(lens)[keep].sum())
-                    lin["compacted_deletes"] = int(
-                        lin.get("compacted_deletes", 0) + (~keep).sum()
-                    )
-                    _fsio.write_json_atomic(
-                        lin, _fsio.join(seg, "lineage.json"), indent=1
-                    )
-                else:
-                    path = _fsio.join(seg, name)
-                    purged = _purge_postings_table(
-                        _fsio.read_table(path), dele, ids, lens
-                    )
-                    _fsio.write_table_atomic(purged, path)
+                path = _fsio.join(seg, name)
+                purged = _purge_postings_table(
+                    _fsio.read_table(path), dele, ids, lens
+                )
+                _fsio.write_table_atomic(purged, path)
                 out["shard"].append(shard)
                 out["name"].append(name)
             return pa.table({k: pa.array(v) for k, v in out.items()})
 
         if work:
             rd.from_items(work).map_batches(
-                purge_file, batch_format="pyarrow", batch_size=1
+                purge_part_file, batch_format="pyarrow", batch_size=1
             ).materialize()
+
+        # PHASE 2 — per-shard norms + lineage rewrite (tiny: one slim
+        # columnar file and a json per touched shard, driver-side loop)
+        for s in touched:
+            shard = int(s["shard"])
+            seg = fsio.join(out_dir, "segments", f"shard-{shard:05d}")
+            dele = load_deletes(out_dir, int(s["doc_id_lo"]), int(s["doc_id_hi"]))
+            norms = fsio.read_table(fsio.join(seg, "norms.parquet"))
+            ids = norms["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = norms["doc_len"].to_numpy(zero_copy_only=False)
+            keep = live_mask(dele, ids)
+            fsio.write_table_atomic(
+                pa.table({
+                    "doc_id": pa.array(ids[keep], pa.int64()),
+                    "doc_len": pa.array(lens[keep], norms["doc_len"].type),
+                }),
+                fsio.join(seg, "norms.parquet"),
+            )
+            lin = fsio.read_json(fsio.join(seg, "lineage.json"))
+            lin["n_docs"] = int(keep.sum())
+            lin["total_terms"] = int(np.asarray(lens)[keep].sum())
+            lin["compacted_deletes"] = int(
+                lin.get("compacted_deletes", 0) + (~keep).sum()
+            )
+            fsio.write_json_atomic(lin, fsio.join(seg, "lineage.json"), indent=1)
         from .segments import assemble
 
         new_manifest = assemble(

@@ -170,10 +170,15 @@ class SegmentEngine:
             )
             self._resolved[t] = (pos, contrib)
 
-    def search(self, query: str, k: int = 10):
+    def search(self, query: str, k: int = 10, mode: str = "or"):
         """Top-k within this shard, scored with GLOBAL df/N/avgdl (dense
         term-at-a-time over the shard-sized accumulator — same float order
-        as the global exhaustive oracle)."""
+        as the global exhaustive oracle).  ``mode="and"`` keeps only docs
+        containing EVERY query term — a shard-local predicate (shards
+        partition disjoint doc ranges), so the cross-shard merge stays
+        exactly the global conjunction; a term absent from this shard
+        empties its contribution (absent from all shards == absent
+        globally == empty conjunction, matching QueryEngine.search_and)."""
         import numpy as np
 
         from . import codec
@@ -182,20 +187,28 @@ class SegmentEngine:
             return []
         seen = set()
         terms = [t for t in self._analyze(query) if not (t in seen or seen.add(t))]
+        conj = mode == "and"
         acc = np.zeros(self._ids.size, dtype=np.float64)
         touched = np.zeros(self._ids.size, dtype=bool)
+        nhits = np.zeros(self._ids.size, dtype=np.int32) if conj else None
         resolved = getattr(self, "_resolved", None)
         for t in terms:
             if resolved is not None:
                 hit = resolved.get(t)
                 if hit is None:
+                    if conj:
+                        return []
                     continue
                 pos, contrib = hit
                 acc[pos] += contrib
                 touched[pos] = True
+                if conj:
+                    nhits[pos] += 1
                 continue
             p = self._tables.get(t)
             if p is None:
+                if conj:
+                    return []
                 continue
             df = self._global_df.get(t, p.df)
             w = float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
@@ -204,7 +217,12 @@ class SegmentEngine:
             dls = self._lens[pos]
             acc[pos] += w * codec.tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
             touched[pos] = True
-        idx = np.flatnonzero(touched)
+            if conj:
+                nhits[pos] += 1
+        idx = (
+            np.flatnonzero(nhits == len(terms)) if conj and terms
+            else np.flatnonzero(touched)
+        )
         if idx.size == 0:
             return []
         scores = acc[idx]
@@ -244,18 +262,18 @@ class ShardedQueryService:
             def ready(self) -> bool:
                 return True
 
-            def search(self, query: str, k: int):
-                return self.eng.search(query, k)
+            def search(self, query: str, k: int, mode: str = "or"):
+                return self.eng.search(query, k, mode)
 
         self._actors = [ShardActor.remote(out_dir, s, warm) for s in shards]
         ray.get([a.ready.remote() for a in self._actors])  # block until warm
 
-    def search(self, query: str, k: int = 10):
+    def search(self, query: str, k: int = 10, mode: str = "or"):
         import ray
 
         if k <= 0:
             return []
-        parts = ray.get([a.search.remote(query, k) for a in self._actors])
+        parts = ray.get([a.search.remote(query, k, mode) for a in self._actors])
         merged = [hit for p in parts for hit in p]
         merged.sort(key=lambda ds_: (-ds_[1], ds_[0]))
         return [(int(d), float(s)) for d, s in merged[:k]]

@@ -199,6 +199,8 @@ def test_sharded_deletes_and_compact(ray_session, corpus, victim_ids, tmp_path):
     try:
         for q in QUERIES:
             assert svc.search(q, k=10) == glob.search(q, k=10, method="exhaustive")
+            assert svc.search(q, k=10, mode="and") == glob.search_and(q, k=10)
+        assert svc.search("stock xyzzyunseenterm", k=5, mode="and") == []
     finally:
         svc.shutdown()
 

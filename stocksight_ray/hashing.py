@@ -74,11 +74,11 @@ def hash_strings(keys, seed: int = _SEED) -> np.ndarray:
         obj = keys.fill_null("").to_numpy(zero_copy_only=False)
     else:
         obj = np.asarray([k or "" for k in keys], dtype=object)
-    h = pd.util.hash_array(obj, hash_key=_PD_HASH_KEY, categorize=False)
-    if seed != _SEED:
-        # Mix the caller's seed in deterministically (same transform per value,
-        # so equal keys still collide and distinct seeds decorrelate buckets).
-        h = (h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)) * np.uint64(
-            0xBF58476D1CE4E5B9
-        )
-    return h
+    if seed == _SEED:
+        key = _PD_HASH_KEY
+    else:
+        # Fold the seed into the SipHash key itself (exactly 16 bytes) so a
+        # distinct seed is a genuinely independent hash family — not a fixed
+        # bijection of the unseeded hash (which would preserve all collisions).
+        key = f"ss{seed & 0xFFFFFFFFFFFFFF:014x}"
+    return pd.util.hash_array(obj, hash_key=key, categorize=False)

@@ -333,14 +333,26 @@ def compact(out_dir: str) -> dict:
         return new_manifest
 
     # ---- single-pass layout: purge global partitions + norms directly ----
+    import ray
     import pyarrow.dataset as pads
 
     _nfs, _npath = fsio.resolve(fsio.join(out_dir, "norms"))
     norms_tbl = pads.dataset(_npath, filesystem=_nfs).to_table()
+    if norms_tbl.num_rows == 0:
+        # a compactable index always has a nonempty doc-length store; an
+        # empty one with live tombstones means the norms were lost (e.g. a
+        # pre-fix crash window) — refuse rather than commit num_docs=0
+        raise RuntimeError(
+            f"compact: norms dataset at {out_dir}/norms is empty while "
+            f"{deleted_all.size} tombstones are pending — refusing to "
+            "compact (doc-length store missing or corrupt)"
+        )
     nids = norms_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(nids, kind="stable")
-    nids_sorted = nids[order]
-    nlens_sorted = norms_tbl["doc_len"].to_numpy(zero_copy_only=False)[order]
+    # big corpus-wide arrays ship via the object store ONCE (ray.put), not
+    # serialized into every per-partition-file task closure
+    norms_ref = ray.put((deleted_all, nids[order],
+                         norms_tbl["doc_len"].to_numpy(zero_copy_only=False)[order]))
 
     idx_dir = fsio.join(out_dir, "index")
     part_files = [
@@ -349,13 +361,16 @@ def compact(out_dir: str) -> dict:
     ]
 
     def purge_part(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
         from .. import fsio as _fsio
 
+        dele, nids_sorted, nlens_sorted = _ray.get(norms_ref)
         out = {"part": [], "n_terms": [], "n_postings": [], "bytes": []}
         for name in batch["name"].to_pylist():
             path = _fsio.join(idx_dir, name)
             purged = _purge_postings_table(
-                _fsio.read_table(path), deleted_all, nids_sorted, nlens_sorted
+                _fsio.read_table(path), dele, nids_sorted, nlens_sorted
             )
             _fsio.write_table_atomic(purged, path)
             out["part"].append(int(name[5:-8]))
@@ -372,14 +387,24 @@ def compact(out_dir: str) -> dict:
         .to_pandas()
     )
 
-    keep = live_mask(deleted_all, nids)
-    kept = norms_tbl.filter(pa.array(keep))
-    fsio.remove_dir(fsio.join(out_dir, "norms"))
-    fsio.makedirs(fsio.join(out_dir, "norms"))
-    fsio.write_table_atomic(kept, fsio.join(out_dir, "norms", "norms-00000.parquet"))
-
-    n_docs = kept.num_rows
-    total_len = int(pa.compute.sum(kept["doc_len"]).as_py() or 0)
+    # norms rewrite per-FILE in place (atomic tmp+rename each), mirroring the
+    # sharded branch: a readable, consistent norms set exists at every
+    # instant and a crashed compaction re-runs idempotently (filtering an
+    # already-filtered file is a no-op) — never delete-dir-then-write
+    norms_dir = fsio.join(out_dir, "norms")
+    n_docs, total_len = 0, 0
+    for fname in sorted(fsio.listdir(norms_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        fpath = fsio.join(norms_dir, fname)
+        ftbl = fsio.read_table(fpath)
+        fids = ftbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fkeep = live_mask(deleted_all, fids)
+        if not fkeep.all():
+            ftbl = ftbl.filter(pa.array(fkeep))
+            fsio.write_table_atomic(ftbl, fpath)
+        n_docs += ftbl.num_rows
+        total_len += int(pa.compute.sum(ftbl["doc_len"]).as_py() or 0)
     manifest.update({
         "num_docs": int(n_docs),
         "avgdl": (total_len / n_docs) if n_docs else 0.0,

@@ -46,7 +46,8 @@ def pack_sequences(
         n_tok = _token_counts(batch[text_col].to_pylist())
         # Bucket membership is part of packing SEMANTICS (docs pack within
         # their bucket), so the hash must be version-stable: pandas'
-        # fixed-key SipHash over the int64 ids, one vectorized pass
+        # deterministic integer hasher (xor-shift; hash_key only applies to
+        # object/string dtypes) over the int64 ids, one vectorized pass
         # (replaces the round-3 per-row ``zlib.crc32(str(id))`` loop; the
         # q41 golden was re-pinned with this family).
         bucket = (

@@ -477,8 +477,11 @@ def q24_ivf_knn(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    import shutil
+    import tempfile
+
     from stocksight_ray.pipelines.similarity import (
-        ivf_partition, ivf_topk, train_centroids,
+        ivf_partition, ivf_topk_from_disk, ivf_write, train_centroids,
     )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -487,8 +490,16 @@ def q24_ivf_knn(sf_dir: str):
     queries = np.array([by_id[0], by_id[1]], dtype=np.float64)
     ds = _read_pq(emb_path)
     cent = train_centroids(ds, nlist=8)
-    bucketed = ivf_partition(ds, cent).materialize()
-    out = ivf_topk(bucketed, cent, queries, k=10, nprobe=4).to_pandas()
+    # full 100-TB path: bucket → write partitioned-by-bucket → top-k reading
+    # ONLY the probed buckets' files (directory-level prune at the read)
+    ivf_dir = tempfile.mkdtemp(prefix="q24_ivf_", dir="/tmp")
+    try:
+        ivf_write(ivf_partition(ds, cent), ivf_dir)
+        out = ivf_topk_from_disk(
+            ivf_dir, cent, queries, k=10, nprobe=4
+        ).to_pandas()
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
     return _round_cols(out, {"score": 6})
 
 

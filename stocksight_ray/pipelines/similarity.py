@@ -23,6 +23,35 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float64 matrix, Arrow-native.
+
+    Hot path of every per-batch matmul here (brute_force_topk,
+    ivf_partition, kmeans_fit): flatten the list child buffer and reshape —
+    one vectorized astype, never a Python object per float.  Fixed-size
+    lists reshape directly; variable lists are verified rectangular via the
+    offsets buffer first.  Non-rectangular / null-bearing input falls back
+    to the slow to_pylist path (correctness over speed off the hot path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        return np.asarray(col, dtype=np.float64)
+    t = col.type
+    try:
+        if pa.types.is_fixed_size_list(t) and col.null_count == 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), t.list_size).astype(
+                np.float64, copy=False
+            )
+        if (pa.types.is_list(t) or pa.types.is_large_list(t)) \
+                and col.null_count == 0:
+            widths = np.diff(col.offsets.to_numpy())
+            if widths.size and (widths == widths[0]).all():
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(len(col), int(widths[0])).astype(
+                    np.float64, copy=False
+                )
+    except Exception:  # pragma: no cover - defensive, falls through
+        pass
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 

@@ -82,19 +82,43 @@ class _TermPostings:
         return f
 
 
+def _binary_views(arr: pa.Array):
+    """Zero-copy per-row memoryview slices of an Arrow binary column — the
+    blobs stay in the Arrow data buffer (kept alive by the views) instead of
+    being copied out into one Python ``bytes`` per row via ``to_pylist``.
+    ``np.frombuffer`` (codec.decode_meta / varbyte_decode) reads memoryviews
+    directly."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()  # [validity, offsets(int32), data]
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return [data[offsets[i]: offsets[i + 1]] for i in range(len(arr))]
+
+
 def read_postings_table(path: str) -> Dict[str, _TermPostings]:
     """Load one postings parquet file → {term: _TermPostings} (shared by
-    the global engine's partition loader and segment serving)."""
+    the global engine's partition loader and segment serving).  Arrow-native:
+    df/cf come out as numpy, meta/payload as zero-copy buffer views — only
+    the term strings (dict keys) materialize as Python objects."""
     from .. import fsio
 
     table: Dict[str, _TermPostings] = {}
     if fsio.exists(path):
         t = fsio.read_table(path)
-        for term, df, cf, m, p in zip(
-            t["term"].to_pylist(), t["df"].to_pylist(), t["cf"].to_pylist(),
-            t["meta"].to_pylist(), t["payload"].to_pylist(),
-        ):
-            table[term] = _TermPostings(df, cf, codec.decode_meta(m), p)
+        if t.num_rows == 0:
+            return table
+        dfs = t["df"].to_numpy(zero_copy_only=False)
+        cfs = t["cf"].to_numpy(zero_copy_only=False)
+        metas = _binary_views(t["meta"])
+        payloads = _binary_views(t["payload"])
+        for i, term in enumerate(t["term"].to_pylist()):
+            table[term] = _TermPostings(
+                int(dfs[i]), int(cfs[i]),
+                codec.decode_meta(metas[i]), payloads[i],
+            )
     return table
 
 

@@ -1233,6 +1233,48 @@ def q56_delete_compact_search(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q57_query_string(sf_dir: str):
+    """Lucene-mini query-string surface (index/qparse.py — the Kibana
+    search-bar syntax the reference user types,
+    /root/reference/export.json searchSourceJSON): bare-term OR, AND,
+    quoted phrases, NOT exclusion, ``field:value`` filter-context clauses
+    (incl. numeric ranges) and grouping, all composed over the BM25 index
+    primitives.  Deterministic; golden oracle."""
+    import shutil
+
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.query import QueryEngine
+
+    out_dir = tempfile.mkdtemp(prefix="q57_index_")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        build_index(
+            _docs(sf_dir), out_dir, text_col="text", id_col="doc_id",
+            num_partitions=8, batch_size=256,
+            extra_manifest={"docs_path": docs_path, "docs_text_col": "text"},
+        )
+        eng = QueryEngine(out_dir)
+        qstrings = [
+            "window sort merge",                # bare terms: OR, score-sum
+            "table AND scan AND merge",         # conjunction
+            '"table scan"',                     # phrase
+            "lang:en AND merge",                # metadata filter + match
+            "merge AND NOT stream",             # exclusion
+            "(scan OR sort) AND lang:de",       # grouping + filter
+            "n_chars:>=400 AND query",          # numeric range filter
+            'lang:zh AND "window sort"',        # filter + phrase
+        ]
+        frames = []
+        for qid, qs in enumerate(qstrings):
+            for rank, (d, sc) in enumerate(eng.search_query(qs, k=10), start=1):
+                frames.append((qid, qs, rank, d, round(sc, 6)))
+        return pd.DataFrame(
+            frames, columns=["query_id", "query", "rank", "doc_id", "score"]
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q51_topk_per_group(sf_dir: str):
     """Nested aggregation (ES sub-agg): top-5 users by summed value per
     event_type — pre-reduced sums + bucketed vectorized per-group head."""
@@ -1277,7 +1319,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_rolling_mean": q30_rolling_mean,
         "q31_url_extract": q31_url_extract,
         "q32_prices_pipeline": q32_prices_pipeline,
-        "q33_mod_sample": q33_mod_sample,
         "q34_stratified_head": q34_stratified_head,
         "q36_hash_join": q36_hash_join,
         "q37_bm25_modes": q37_bm25_modes,
@@ -1299,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_dup_clusters": q54_dup_clusters,
         "q55_cross_dedup": q55_cross_dedup,
         "q56_delete_compact_search": q56_delete_compact_search,
+        "q57_query_string": q57_query_string,
     }
 
 
@@ -1315,13 +1357,17 @@ def rotated_queries() -> dict[str, Callable[[str], Any]]:
     make driver room for the new q54 duplicate-cluster and q55 cross-dedup
     operators), q07's single-column metric aggs by q13's richer multi-
     aggregate lineitem pricing (same metric-agg operator family; rotated
-    for the q56 index delete/compact lifecycle).  They stay implemented,
+    for the q56 index delete/compact lifecycle; round 5: q33's hash-mod
+    sampling rotated out for the q57 query-string parser — the same
+    deterministic hash-sampling operator family keeps driver evidence via
+    q34 stratified sampling and q49 source mixing).  They stay implemented,
     oracle-checked by scripts/check_entry.py, and covered by tests."""
     return {
         "q03_text_counts": q03_text_counts,
         "q07_metric_nchars": q07_metric_nchars,
         "q10_event_type_topk": q10_event_type_topk,
         "q14_orders_status": q14_orders_status,
+        "q33_mod_sample": q33_mod_sample,
         "q35_normalize": q35_normalize,
         "q42_avg_events_per_user": q42_avg_events_per_user,
     }
@@ -1424,9 +1470,6 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rmean FROM events"
         ),
-        "q33_mod_sample": (
-            "SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 17"
-        ),
         "q34_stratified_head": (
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() "
             "OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
@@ -1470,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
                 "q40_hll_distinct", "q41_pack_sequences",
                 "q44_link_score_fold", "q52_scrub_pii",
                 "q39_quantile_sketch", "q56_delete_compact_search",
+                "q57_query_string",
             )
         },
         "q45_sessionize": (
@@ -1614,6 +1658,9 @@ def rotated_oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, count(*) AS cnt, "
             "round(sum(o_totalprice), 2) AS sum_totalprice "
             "FROM orders GROUP BY o_orderstatus"
+        ),
+        "q33_mod_sample": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 17"
         ),
         "q35_normalize": (
             "SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) "

@@ -169,9 +169,69 @@ def run_ops_bench() -> dict:
     return out
 
 
+def run_scaling_pairs(max_pairs: int = 3, budget_per_pair: int = 450) -> dict:
+    """THREE interleaved (8, 32)-cpu pairs in fresh subprocesses (single
+    runs on this shared box swing 2-3x with background load — a median over
+    3 pairs tolerates one bad pair where 2 pairs cannot); later pairs are
+    skipped over a time budget.  Efficiency is computed PER INTERLEAVED
+    PAIR (an 8-cpu run and the 32-cpu run launched right after it): adjacent
+    runs share the box's background-load conditions, so the paired ratio
+    cancels environment drift that a cross-pair best8/best32 ratio (runs up
+    to ~10 min apart) does not.  Headline = MEDIAN of the per-pair ratios
+    (ADVICE r3: max of noisy ratios cherry-picks upward); the best pair and
+    every raw run are still recorded."""
+    import statistics
+
+    runs = {8: [], 32: []}
+    order = [c for _ in range(max_pairs) for c in (8, 32)]
+    t_scale = time.time()
+    for i, cpus in enumerate(order):
+        if i >= 2 and i % 2 == 0 and time.time() - t_scale > budget_per_pair * (i // 2):
+            break
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=900,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        runs[cpus].append(json.loads(line[-1]))
+    n_pairs = min(len(runs[8]), len(runs[32]))
+    pair_effs = [
+        round((runs[32][i]["docs_per_sec"] / runs[8][i]["docs_per_sec"]) / 4, 3)
+        for i in range(n_pairs)
+    ]
+    idx_pair_effs = [
+        round(
+            (runs[32][i]["index_docs_per_sec"] / runs[8][i]["index_docs_per_sec"]) / 4,
+            3,
+        )
+        for i in range(n_pairs)
+    ]
+    return {
+        "docs_per_sec_8cpu": max(r["docs_per_sec"] for r in runs[8]),
+        "docs_per_sec_32cpu": max(r["docs_per_sec"] for r in runs[32]),
+        # end-to-end (ingest+index): median over same-conditions pairs
+        "efficiency_8_to_32": round(statistics.median(pair_effs), 3),
+        "best_pair_efficiency": max(pair_effs),
+        "pair_efficiencies": pair_effs,
+        # the north-rule metric proper: INDEX-BUILD stage throughput
+        "index_docs_per_sec_8cpu": max(r["index_docs_per_sec"] for r in runs[8]),
+        "index_docs_per_sec_32cpu": max(r["index_docs_per_sec"] for r in runs[32]),
+        "index_efficiency_8_to_32": round(statistics.median(idx_pair_effs), 3),
+        "index_best_pair_efficiency": max(idx_pair_effs),
+        "index_pair_efficiencies": idx_pair_effs,
+        "raw_runs": {str(c): runs[c] for c in (8, 32)},
+        "n_pages": N_PAGES_SCALING,
+        "runs_per_level": len(runs[8]),
+    }
+
+
 def main_bench() -> None:
     import ray
 
+    # Corpus generation first, in its own Ray session (headline + scaling
+    # corpora), so the scaling children only measure the pipeline.
     ray.init(
         address="local", num_cpus=NUM_CPUS, include_dashboard=False,
         logging_level="ERROR",
@@ -179,8 +239,24 @@ def main_bench() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-
     corpus = ensure_corpus()
+    ensure_corpus(N_PAGES_SCALING)
+    ray.shutdown()
+
+    # Scaling pairs run FIRST, on a cold box (VERDICT r4 #8: running them
+    # after headline+ops left the box hot — one r4 pair read 0.45 from
+    # thermal/background drift the 20 s cooldown didn't cover).
+    time.sleep(10)  # settle after corpus generation
+    try:
+        scaling = run_scaling_pairs()
+    except Exception as ex:  # scaling evidence is best-effort in the bench
+        scaling = {"error": str(ex)[:200]}
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
     index_dir = f"/tmp/bench_index_{N_PAGES}_{NUM_CPUS}"
     import shutil
 
@@ -190,7 +266,40 @@ def main_bench() -> None:
     build = run_ingest_index(corpus, index_dir)
     qbench = run_query_bench(index_dir)
     ops = run_ops_bench()
+    ray.shutdown()
 
+    details = {"build": build, "query": qbench, "scaling_raw": scaling}
+
+    # Sharded serving at the scaling corpus (VERDICT r3 #8): single-engine
+    # p95 grows with corpus size (~30 ms at 943k docs); ShardedQueryService
+    # is the scale path and the bench exercises it on the ~470k-doc corpus
+    # in a fresh child session.
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sharded-query-child"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=900,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        details["query_sharded"] = json.loads(line[-1])
+    except Exception as ex:
+        details["query_sharded"] = {"error": str(ex)[:200]}
+
+    # Full detail (raw scaling runs, per-stage build numbers, sharded-query
+    # child) goes to a SIDE FILE; stdout gets ONE compact line well under
+    # the driver's tail-capture budget (BENCH_r04 `parsed: null` — the r4
+    # line with embedded raw_runs overflowed the tail and the driver
+    # recorded no headline).
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    )
+    with open(details_path, "w") as f:
+        json.dump(details, f, indent=1)
+
+    scaling_compact = {
+        k: v for k, v in scaling.items()
+        if k not in ("raw_runs",)
+    }
     result = {
         "metric": "webtext ingest+index wall sec (headline); indexing docs/s + BM25 p95 in details",
         "value": build["total_sec"],
@@ -203,93 +312,18 @@ def main_bench() -> None:
         "sf": SF,
         "num_cpus": NUM_CPUS,
         "n_pages": N_PAGES,
-        "details": {"build": build, "query": qbench},
+        "scaling": scaling_compact,
+        "details_file": "bench_details.json",
     }
-    ray.shutdown()
-
-    # per-round scaling evidence lands in BENCH_rN.json itself.  THREE
-    # interleaved pairs when time allows (single runs on this shared box
-    # swing 2-3x with background load, and the headline+ops section above
-    # leaves the box hot — a median over 3 pairs tolerates one bad pair
-    # where 2 pairs cannot); later pairs are skipped over a time budget.
-    # A 20 s cooldown lets clocks recover from the ops section first.
-    try:
-        time.sleep(20)
-        runs = {8: [], 32: []}
-        t_scale = time.time()
-        for i, cpus in enumerate((8, 32, 8, 32, 8, 32)):
-            if i >= 2 and i % 2 == 0 and time.time() - t_scale > 450 * (i // 2):
-                break
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
-                capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                timeout=900,
-            )
-            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-            runs[cpus].append(json.loads(line[-1]))
-        best8 = max(r["docs_per_sec"] for r in runs[8])
-        best32 = max(r["docs_per_sec"] for r in runs[32])
-        idx8 = max(r["index_docs_per_sec"] for r in runs[8])
-        idx32 = max(r["index_docs_per_sec"] for r in runs[32])
-        # Efficiency is computed PER INTERLEAVED PAIR (an 8-cpu run and the
-        # 32-cpu run launched right after it) and the best pair is reported:
-        # adjacent runs share the box's background-load conditions, so the
-        # paired ratio cancels environment drift that a cross-pair
-        # best8/best32 ratio (runs up to ~10 min apart) does not — single
-        # runs on this shared box swing ±20%.  All raw runs are recorded.
-        n_pairs = min(len(runs[8]), len(runs[32]))
-        pair_effs = [
-            round((runs[32][i]["docs_per_sec"] / runs[8][i]["docs_per_sec"]) / 4, 3)
-            for i in range(n_pairs)
-        ]
-        idx_pair_effs = [
-            round(
-                (runs[32][i]["index_docs_per_sec"] / runs[8][i]["index_docs_per_sec"]) / 4,
-                3,
-            )
-            for i in range(n_pairs)
-        ]
-        # headline = MEDIAN of the per-pair ratios (ADVICE r3: taking the
-        # max of noisy ratios cherry-picks upward); the best pair is still
-        # recorded, explicitly labeled, plus every raw run
-        import statistics
-
+    out_line = json.dumps(result)
+    if len(out_line) > 1800:  # degrade, never die: drop scaling detail keys
         result["scaling"] = {
-            "docs_per_sec_8cpu": best8,
-            "docs_per_sec_32cpu": best32,
-            # end-to-end (ingest+index): median over same-conditions pairs
-            "efficiency_8_to_32": round(statistics.median(pair_effs), 3),
-            "best_pair_efficiency": max(pair_effs),
-            "pair_efficiencies": pair_effs,
-            # the north-rule metric proper: INDEX-BUILD stage throughput
-            "index_docs_per_sec_8cpu": idx8,
-            "index_docs_per_sec_32cpu": idx32,
-            "index_efficiency_8_to_32": round(statistics.median(idx_pair_effs), 3),
-            "index_best_pair_efficiency": max(idx_pair_effs),
-            "index_pair_efficiencies": idx_pair_effs,
-            "raw_runs": {str(c): runs[c] for c in (8, 32)},
-            "n_pages": N_PAGES_SCALING,
-            "runs_per_level": len(runs[8]),
+            k: scaling_compact.get(k) for k in
+            ("efficiency_8_to_32", "index_efficiency_8_to_32",
+             "pair_efficiencies", "index_pair_efficiencies")
         }
-    except Exception as ex:  # scaling evidence is best-effort in the bench
-        result["scaling"] = {"error": str(ex)[:200]}
-
-    # Sharded serving at the scaling corpus (VERDICT r3 #8): single-engine
-    # p95 grows with corpus size (~30 ms at 943k docs); ShardedQueryService
-    # is the scale path and the bench now exercises it on the ~470k-doc
-    # corpus in a fresh child session.
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--sharded-query-child"],
-            capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=900,
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-        result["details"]["query_sharded"] = json.loads(line[-1])
-    except Exception as ex:
-        result["details"]["query_sharded"] = {"error": str(ex)[:200]}
-    print(json.dumps(result))
+        out_line = json.dumps(result)
+    print(out_line)
 
 
 def scaling_child(cpus: int) -> dict:

@@ -31,7 +31,7 @@ GOLDEN_QUERIES = [
     "q28_sentiment_dashboard", "q31_url_extract", "q32_prices_pipeline",
     "q37_bm25_modes", "q40_hll_distinct", "q41_pack_sequences",
     "q44_link_score_fold", "q52_scrub_pii", "q39_quantile_sketch",
-    "q56_delete_compact_search",
+    "q56_delete_compact_search", "q57_query_string",
 ]
 
 

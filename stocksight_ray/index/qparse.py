@@ -1,0 +1,395 @@
+"""Lucene-mini query-string parser + evaluator (the ES ``query_string`` /
+Kibana search-bar surface the reference user actually types into —
+/root/reference/export.json ``searchSourceJSON`` query panels; the repo's
+separate search/search_and/search_phrase/search_filtered calls compose
+under one string syntax here).
+
+Grammar::
+
+    query    := or_expr
+    or_expr  := and_expr (OR and_expr)*
+    and_expr := unary (AND unary)*
+    unary    := (NOT | '-') unary | atom
+    atom     := '(' or_expr ')' | FIELD ':' value | PHRASE | TERM
+    value    := PHRASE | [>,>=,<,<=] TERM
+
+Semantics (ES bool query):
+
+* default operator between bare clauses is **OR** (Lucene default:
+  ``a b`` ≡ ``a OR b``); ``AND`` binds tighter than ``OR``;
+* text clauses — bare terms and ``"quoted phrases"`` — score BM25 against
+  the indexed text field; an OR sums the scores of the clauses a doc
+  matches (ES ``should``), an AND requires every positive clause and sums
+  their scores (ES ``must``);
+* ``NOT x`` / ``-x`` excludes matching docs without contributing score
+  (ES ``must_not``); a query whose top level has no positive clause is an
+  error (like ES, which cannot iterate the complement);
+* ``field:value`` is non-scoring **filter context** over a docs-table
+  metadata column (the Kibana filter pill): equality by default,
+  ``field:>=5``-style prefixes for numeric ranges, quoted values for
+  strings with spaces.  Pushed down into the docs-parquet read (row-group
+  pruning — a serving shard reads only its id range's row groups);
+* tombstoned docs (index/deletes.py) are filtered from the final result;
+* ties break by doc_id ascending, matching every other scorer here.
+
+Scoring parity: clause contributions fold left-to-right in query order —
+``parse+execute("a b")`` is float-identical to ``engine.search("a b",
+method="exhaustive")`` and ``"a AND b"`` to ``engine.search_and``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    text: str
+
+
+@dataclass(frozen=True)
+class Filter:
+    col: str
+    op: str  # ==, <, <=, >, >=
+    value: object
+
+
+@dataclass(frozen=True)
+class Not:
+    child: "Node"
+
+
+@dataclass(frozen=True)
+class And:
+    children: Tuple["Node", ...]
+
+
+@dataclass(frozen=True)
+class Or:
+    children: Tuple["Node", ...]
+
+
+Node = Union[Term, Phrase, Filter, Not, And, Or]
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer + recursive-descent parser
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<phrase>"[^"]*") |
+        (?P<minus>-(?=\S)) |
+        (?P<word>[^\s()":]+) |
+        (?P<colon>:)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str) -> List[Tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None:
+            rest = s[pos:].strip()
+            if not rest:
+                break
+            raise ValueError(f"query syntax error at {rest[:20]!r}")
+        pos = m.end()
+        for kind in ("lparen", "rparen", "phrase", "minus", "word", "colon"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append((kind, v))
+                break
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: List[Tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Optional[Tuple[str, str]]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        self.i += 1
+        return t
+
+    # or_expr := and_expr (OR? and_expr)*  — bare juxtaposition is OR
+    def or_expr(self) -> Node:
+        parts = [self.and_expr()]
+        while True:
+            t = self.peek()
+            if t is None or t[0] == "rparen":
+                break
+            if t[0] == "word" and t[1] == "OR":
+                self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def and_expr(self) -> Node:
+        parts = [self.unary()]
+        while True:
+            t = self.peek()
+            if t is not None and t[0] == "word" and t[1] == "AND":
+                self.next()
+                parts.append(self.unary())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def unary(self) -> Node:
+        t = self.peek()
+        if t is not None and (
+            t[0] == "minus" or (t[0] == "word" and t[1] == "NOT")
+        ):
+            self.next()
+            return Not(self.unary())
+        return self.atom()
+
+    def atom(self) -> Node:
+        kind, v = self.next()
+        if kind == "lparen":
+            inner = self.or_expr()
+            close = self.next()
+            if close[0] != "rparen":
+                raise ValueError("expected ')'")
+            return inner
+        if kind == "phrase":
+            return Phrase(v[1:-1])
+        if kind == "word":
+            if v in ("AND", "OR", "NOT"):
+                raise ValueError(f"operator {v} needs operands")
+            t = self.peek()
+            if t is not None and t[0] == "colon":
+                self.next()
+                return self._field_clause(v)
+            return Term(v)
+        raise ValueError(f"unexpected token {v!r}")
+
+    def _field_clause(self, col: str) -> Filter:
+        kind, v = self.next()
+        if kind == "phrase":
+            return Filter(col, "==", v[1:-1])
+        if kind != "word":
+            raise ValueError(f"{col}: needs a value")
+        op = "=="
+        for pre in (">=", "<=", ">", "<"):
+            if v.startswith(pre):
+                op, v = pre, v[len(pre):]
+                break
+        return Filter(col, op, _coerce(v))
+
+
+def _coerce(v: str) -> object:
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def parse(s: str) -> Node:
+    toks = _tokenize(s)
+    if not toks:
+        raise ValueError("empty query")
+    p = _Parser(toks)
+    node = p.or_expr()
+    if p.peek() is not None:
+        raise ValueError(f"trailing input at token {p.peek()!r}")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# Evaluator
+# ---------------------------------------------------------------------------
+
+_EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+
+def _eval(engine, node: Node):
+    """→ (ids sorted int64, scores float64 | None).  scores=None marks a
+    pure filter-context subtree (non-scoring)."""
+    from . import codec
+
+    if isinstance(node, Term):
+        ids, scores = _EMPTY
+        for t in engine.analyze_query(node.text):
+            p = engine.lookup(t)
+            if p is None:
+                continue
+            tids, tfs = p.full()
+            contrib = engine.idf(p.df) * codec.tf_norm(
+                tfs, engine.doc_lens(tids), engine.avgdl, engine.k1, engine.b
+            )
+            ids, scores = _union_sum(ids, scores, tids, contrib)
+        return ids, scores
+
+    if isinstance(node, Phrase):
+        hits = engine.search_phrase(node.text, k=1 << 30)
+        if not hits:
+            return _EMPTY
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        scores = np.array([s for _, s in hits], dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], scores[order]
+
+    if isinstance(node, Filter):
+        return _eval_filter(engine, node), None
+
+    if isinstance(node, Or):
+        ids, scores = _EMPTY
+        any_scored = False
+        for c in node.children:
+            if isinstance(c, Not):
+                raise ValueError(
+                    "NOT is only valid AND-ed with a positive clause"
+                )
+            cids, cscores = _eval(engine, c)
+            if cscores is None:
+                cscores = np.zeros(cids.size, dtype=np.float64)
+            else:
+                any_scored = True
+            ids, scores = _union_sum(ids, scores, cids, cscores)
+        return ids, (scores if any_scored else None)
+
+    if isinstance(node, And):
+        pos = [c for c in node.children if not isinstance(c, Not)]
+        neg = [c.child for c in node.children if isinstance(c, Not)]
+        if not pos:
+            raise ValueError("pure-negative query (every clause is NOT)")
+        evald = [_eval(engine, c) for c in pos]
+        cand = None
+        for cids, _ in evald:
+            cand = cids if cand is None else _intersect(cand, cids)
+            if cand.size == 0:
+                return _EMPTY
+        for n in neg:
+            nids, _ = _eval(engine, n)
+            if nids.size:
+                cand = cand[~_member(nids, cand)]
+                if cand.size == 0:
+                    return _EMPTY
+        any_scored = any(s is not None for _, s in evald)
+        if not any_scored:
+            return cand, None
+        # sum child scores at the surviving docs, in clause order (same
+        # float fold order as _search_and_terms' original-order loop)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for cids, cscores in evald:
+            if cscores is None:
+                continue
+            pos_idx = np.searchsorted(cids, cand)
+            scores += cscores[pos_idx]
+        return cand, scores
+
+    if isinstance(node, Not):
+        raise ValueError("NOT is only valid AND-ed with a positive clause")
+    raise TypeError(f"unknown node {node!r}")
+
+
+def _eval_filter(engine, node: Filter) -> np.ndarray:
+    import pyarrow.dataset as pads
+
+    from .. import fsio
+
+    docs_path = engine.manifest.get("docs_path")
+    if docs_path is None:
+        raise ValueError(
+            f"{node.col}:{node.value} needs docs_path in the index manifest"
+        )
+    f = pads.field(node.col)
+    expr = (f == node.value if node.op == "==" else
+            f < node.value if node.op == "<" else
+            f <= node.value if node.op == "<=" else
+            f > node.value if node.op == ">" else
+            f >= node.value)
+    _dfs, _dpath = fsio.resolve(docs_path)
+    ids = (
+        pads.dataset(_dpath, filesystem=_dfs)
+        .to_table(columns=["doc_id"], filter=expr)["doc_id"]
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    ids.sort(kind="stable")
+    return ids
+
+
+def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """bool mask: vals ∈ sorted_arr (both int64; vals need not be sorted)."""
+    if sorted_arr.size == 0:
+        return np.zeros(vals.size, dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    pos = np.minimum(pos, sorted_arr.size - 1)
+    return sorted_arr[pos] == vals
+
+
+def _intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a[_member(b, a)]
+
+
+def _union_sum(
+    ids: np.ndarray, scores: Optional[np.ndarray],
+    new_ids: np.ndarray, new_scores: np.ndarray,
+):
+    """(ids, scores) ∪ (new_ids, new_scores) with scores summed where a doc
+    appears in both — the running left-fold keeps float addition in clause
+    order (ES should-clause sum)."""
+    if scores is None:
+        scores = np.zeros(ids.size, dtype=np.float64)
+    if ids.size == 0:
+        return new_ids.copy(), new_scores.astype(np.float64, copy=True)
+    if new_ids.size == 0:
+        return ids, scores
+    merged = np.union1d(ids, new_ids)
+    out = np.zeros(merged.size, dtype=np.float64)
+    pos_old = np.searchsorted(merged, ids)
+    out[pos_old] += scores
+    pos_new = np.searchsorted(merged, new_ids)
+    out[pos_new] += new_scores
+    return merged, out
+
+
+def execute(engine, node: Node, k: int = 10) -> List[Tuple[int, float]]:
+    """Evaluate a parsed query against a QueryEngine → top-k
+    [(doc_id, score)], score desc then doc_id asc; a pure-filter query
+    (no text clause anywhere) returns score 0.0 for every match, ordered
+    by doc_id."""
+    ids, scores = _eval(engine, node)
+    if ids.size and engine._deleted.size:
+        live = engine._live(ids)
+        ids = ids[live]
+        scores = scores[live] if scores is not None else None
+    if ids.size == 0 or k <= 0:
+        return []
+    if scores is None:
+        return [(int(d), 0.0) for d in ids[:k]]
+    order = np.lexsort((ids, -scores))[:k]
+    return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+def search_query(engine, query: str, k: int = 10) -> List[Tuple[int, float]]:
+    """Parse + execute in one call (the `QueryEngine.search_query` body)."""
+    return execute(engine, parse(query), k)

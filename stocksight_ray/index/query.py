@@ -718,6 +718,16 @@ class QueryEngine:
                 out.append(w)
         return " ".join(out)
 
+    def search_query(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Lucene-mini query-string search (the Kibana search-bar surface):
+        ``sentiment:negative AND "stock market"``, AND/OR/NOT, quoted
+        phrases, ``field:value`` filter-context clauses — parsed and
+        composed over the primitives above.  See index/qparse.py for the
+        grammar and ES bool-query semantics."""
+        from .qparse import search_query as _sq
+
+        return _sq(self, query, k)
+
     # ------------------------------------------------------------------
     def search_table(self, query: str, k: int = 10, method: str = "auto") -> pa.Table:
         hits = self.search(query, k, method)

@@ -1,0 +1,178 @@
+"""Query-string parser (index/qparse.py): AST shape, and execution
+equivalence against the dedicated search/search_and/search_phrase/
+search_filtered primitives on a small index."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from stocksight_ray.index.qparse import (
+    And, Filter, Not, Or, Phrase, Term, parse,
+)
+
+
+# ---------------------------------------------------------------------------
+# parser unit tests (pure — no Ray, no index)
+# ---------------------------------------------------------------------------
+
+def test_parse_bare_terms_default_or():
+    assert parse("a b c") == Or((Term("a"), Term("b"), Term("c")))
+    assert parse("a OR b") == Or((Term("a"), Term("b")))
+
+
+def test_parse_and_binds_tighter_than_or():
+    assert parse("a AND b OR c") == Or((And((Term("a"), Term("b"))), Term("c")))
+    assert parse("a OR b AND c") == Or((Term("a"), And((Term("b"), Term("c")))))
+
+
+def test_parse_parens_override():
+    assert parse("a AND (b OR c)") == And((Term("a"), Or((Term("b"), Term("c")))))
+
+
+def test_parse_not_and_minus():
+    assert parse("a AND NOT b") == And((Term("a"), Not(Term("b"))))
+    assert parse("a AND -b") == And((Term("a"), Not(Term("b"))))
+    assert parse("NOT NOT a") == Not(Not(Term("a")))
+
+
+def test_parse_phrase_and_field():
+    assert parse('"stock market"') == Phrase("stock market")
+    assert parse("lang:en") == Filter("lang", "==", "en")
+    assert parse('kind:"news item"') == Filter("kind", "==", "news item")
+    assert parse("n_chars:>=500") == Filter("n_chars", ">=", 500)
+    assert parse("score:<0.5") == Filter("score", "<", 0.5)
+    assert parse('sentiment:negative AND "stock market"') == And(
+        (Filter("sentiment", "==", "negative"), Phrase("stock market"))
+    )
+
+
+def test_parse_errors():
+    for bad in ("", "AND", "a AND", "(a", "a)", "lang:"):
+        with pytest.raises(ValueError):
+            parse(bad)
+
+
+# ---------------------------------------------------------------------------
+# execution equivalence on a small index
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def qs_index(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stocksight_ray.index.build import build_index
+
+    rows = [
+        ("the stock market rises on strong earnings reports today", "tweet", 10),
+        ("market conditions weaken as investors fear recession", "news", 20),
+        ("strong earnings lift the stock price to record highs", "tweet", 30),
+        ("earnings reports disappoint while the market falls", "news", 40),
+        ("stock earnings market market stock earnings repeated words", "tweet", 50),
+        ("completely unrelated cooking recipe with pasta and sauce", "news", 60),
+        ("the market rises the market rises the market rises", "tweet", 70),
+        ("strong stock with rising earnings and growing market share", "news", 80),
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[0] for r in rows], pa.string()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("qs_index"))
+    docs_path = os.path.join(out, "docs.parquet")
+    pq.write_table(docs, docs_path)
+    build_index(
+        rd.from_arrow(docs), out, text_col="text",
+        num_partitions=4, batch_size=4,
+        extra_manifest={"docs_path": docs_path, "docs_text_col": "text"},
+    )
+    return out, rows
+
+
+def _engine(out):
+    from stocksight_ray.index.query import QueryEngine
+
+    return QueryEngine(out)
+
+
+def test_qs_or_equals_search(ray_session, qs_index):
+    out, _ = qs_index
+    eng = _engine(out)
+    got = eng.search_query("stock earnings market", k=10)
+    exp = eng.search("stock earnings market", k=10, method="exhaustive")
+    assert got == exp  # float-identical, same tie order
+
+
+def test_qs_and_equals_search_and(ray_session, qs_index):
+    out, _ = qs_index
+    eng = _engine(out)
+    got = eng.search_query("stock AND earnings", k=10)
+    exp = eng.search_and("stock earnings", k=10)
+    assert got == exp
+    assert eng.search_query("stock AND zzznotfound", k=5) == []
+
+
+def test_qs_phrase_equals_search_phrase(ray_session, qs_index):
+    out, _ = qs_index
+    eng = _engine(out)
+    got = eng.search_query('"strong earnings"', k=10)
+    exp = eng.search_phrase("strong earnings", k=10)
+    assert got == exp
+    assert got  # fixture contains the phrase
+
+
+def test_qs_filter_equals_search_filtered(ray_session, qs_index):
+    out, _ = qs_index
+    eng = _engine(out)
+    got = eng.search_query("kind:tweet AND market", k=10)
+    exp = eng.search_filtered("market", k=10, filters=[("kind", "==", "tweet")])
+    assert got == exp
+    # range filter
+    got = eng.search_query("n:>=50 AND market", k=10)
+    exp = eng.search_filtered("market", k=10, filters=[("n", ">=", 50)])
+    assert got == exp
+
+
+def test_qs_not_excludes(ray_session, qs_index):
+    out, rows = qs_index
+    eng = _engine(out)
+    got = eng.search_query("market AND NOT stock", k=10)
+    market_ids = {d for d, _ in eng.search("market", k=100, method="exhaustive")}
+    stock_ids = {d for d, _ in eng.search("stock", k=100, method="exhaustive")}
+    assert {d for d, _ in got} == market_ids - stock_ids
+    # scores are the market-clause scores, untouched by the exclusion
+    m_scores = dict(eng.search("market", k=100, method="exhaustive"))
+    for d, s in got:
+        assert s == pytest.approx(m_scores[d], rel=1e-12)
+
+
+def test_qs_pure_filter_scores_zero(ray_session, qs_index):
+    out, rows = qs_index
+    eng = _engine(out)
+    got = eng.search_query("kind:news", k=10)
+    exp_ids = [i for i, r in enumerate(rows) if r[1] == "news"]
+    assert got == [(i, 0.0) for i in exp_ids]
+
+
+def test_qs_grouping_or_inside_and(ray_session, qs_index):
+    out, _ = qs_index
+    eng = _engine(out)
+    got = eng.search_query("(recipe OR recession) AND kind:news", k=10)
+    ids = {d for d, _ in got}
+    exp = {d for d, _ in eng.search_filtered(
+        "recipe recession", k=10, filters=[("kind", "==", "news")]
+    )}
+    assert ids == exp
+
+
+def test_qs_pure_negative_raises(ray_session, qs_index):
+    out, _ = qs_index
+    eng = _engine(out)
+    with pytest.raises(ValueError):
+        eng.search_query("NOT stock", k=5)
+    with pytest.raises(ValueError):
+        eng.search_query("a OR NOT b", k=5)

@@ -107,6 +107,15 @@ def listdir(path: str) -> List[str]:
     return sorted(info.base_name for info in fs.get_file_info(sel))
 
 
+def remove_file(path: str) -> None:
+    """Delete one file, ignore-missing."""
+    fs, p = resolve(path)
+    try:
+        fs.delete_file(p)
+    except (FileNotFoundError, OSError, pa.ArrowIOError):
+        pass
+
+
 def remove_dir(path: str) -> None:
     """Recursive delete, ignore-missing (shutil.rmtree(ignore_errors)
     equivalent)."""

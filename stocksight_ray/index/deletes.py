@@ -181,6 +181,42 @@ def clear_deletes(out_dir: str) -> None:
     fsio.remove_dir(_deletes_dir(out_dir))
 
 
+def undelete_docs(out_dir: str, ids, *, id_col: str = "doc_id") -> dict:
+    """Remove ids from the tombstone store — the revival half of an upsert
+    (a re-indexed doc is live again, ES ``es.index``-overwrite semantics).
+    Ids not currently tombstoned are ignored.  Same single-writer contract
+    as :func:`delete_docs` (read-diff-write with atomic per-bucket replace).
+    Returns {n_requested, n_removed, buckets_touched}."""
+    from .. import fsio
+
+    arr = _normalize_ids(ids, id_col)
+    ddir = _deletes_dir(out_dir)
+    if arr.size == 0 or not fsio.isdir(ddir):
+        return {"n_requested": int(arr.size), "n_removed": 0,
+                "buckets_touched": []}
+    bucket_docs = _bucket_docs(out_dir)
+    n_removed = 0
+    touched = []
+    for b in np.unique(arr // bucket_docs):
+        path = fsio.join(ddir, f"del-{int(b):05d}.parquet")
+        if not fsio.exists(path):
+            continue
+        prev = fsio.read_table(path)["doc_id"].to_numpy(zero_copy_only=False)
+        kept = prev[live_mask(arr, prev)]  # prev minus the revived ids
+        if kept.size == prev.size:
+            continue
+        n_removed += prev.size - kept.size
+        touched.append(int(b))
+        if kept.size:
+            fsio.write_table_atomic(
+                pa.table({"doc_id": pa.array(kept, pa.int64())}), path
+            )
+        else:
+            fsio.remove_file(path)
+    return {"n_requested": int(arr.size), "n_removed": int(n_removed),
+            "buckets_touched": touched}
+
+
 # ---------------------------------------------------------------------------
 # compaction
 # ---------------------------------------------------------------------------

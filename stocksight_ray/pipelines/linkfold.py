@@ -181,12 +181,20 @@ def link_score_fold(
     def fold(g: pd.DataFrame) -> pa.Table:
         base = g[g["_tag"] == 0]
         ln = g[g["_tag"] == 1].sort_values([id_col, "pos"], kind="stable")
+        # fast path: a doc with zero links folds to itself (urls_pol/sub
+        # stay 0, sentiment untouched) — the typical majority; only
+        # link-bearing docs replay the order-dependent sequential fold
+        has_links = base[id_col].isin(ln[id_col].unique())
+        plain = base[~has_links]
+        ids = plain[id_col].to_numpy(np.int64).tolist()
+        pols = plain["lpol"].to_numpy(np.float64).tolist()
+        subs = plain["lsub"].to_numpy(np.float64).tolist()
+        sens = plain["lsen"].tolist()
         by_doc = {
             did: list(zip(sub["lpol"], sub["lsub"], sub["lsen"]))
             for did, sub in ln.groupby(id_col)
         }
-        ids, pols, subs, sens = [], [], [], []
-        for _, r in base.iterrows():
+        for _, r in base[has_links].iterrows():
             did = int(r[id_col])
             p, s, lab = fold_link_scores(
                 float(r["lpol"]), float(r["lsub"]), r["lsen"],

@@ -327,6 +327,12 @@ def _eval_filter(engine, node: Filter) -> np.ndarray:
             f <= node.value if node.op == "<=" else
             f > node.value if node.op == ">" else
             f >= node.value)
+    # shard-scoped engines (serve.SegmentEngine) expose their doc_id range
+    # so the filter read stays shard-bounded (row-group pruning on doc_id)
+    id_range = getattr(engine, "doc_id_range", None)
+    if id_range is not None:
+        lo, hi = id_range
+        expr = expr & (pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi)
     _dfs, _dpath = fsio.resolve(docs_path)
     ids = (
         pads.dataset(_dpath, filesystem=_dfs)

@@ -102,6 +102,7 @@ class SegmentEngine:
         from .query import read_postings_table
 
         manifest = fsio.read_json(fsio.join(out_dir, "manifest.json"))
+        self.manifest = manifest
         self.N = int(manifest["num_docs"])
         self.avgdl = float(manifest["avgdl"]) or 1.0
         self.k1 = float(manifest["k1"])
@@ -144,6 +145,10 @@ class SegmentEngine:
 
         self._deleted = load_deletes(
             out_dir,
+            int(self.lineage["doc_id_lo"]), int(self.lineage["doc_id_hi"]),
+        )
+        # qparse filter clauses push this range into the docs-parquet read
+        self.doc_id_range = (
             int(self.lineage["doc_id_lo"]), int(self.lineage["doc_id_hi"]),
         )
 
@@ -235,6 +240,100 @@ class SegmentEngine:
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    # -- QueryEngine-compatible surface for index/qparse.py ----------------
+    # The parser evaluates pointwise per doc with global stats, so running
+    # it per shard and merging shard top-ks IS the global evaluation
+    # restricted to disjoint id ranges (the same argument as search()).
+
+    class _GlobalDfPostings:
+        """Shard postings re-badged with the GLOBAL df, so qparse's
+        ``engine.idf(p.df)`` weights terms exactly like the global engine."""
+
+        __slots__ = ("df", "cf", "_p")
+
+        def __init__(self, df: int, p):
+            self.df = df
+            self.cf = p.cf
+            self._p = p
+
+        def full(self):
+            return self._p.full()
+
+    def analyze_query(self, query: str):
+        seen = set()
+        return [t for t in self._analyze(query)
+                if not (t in seen or seen.add(t))]
+
+    def lookup(self, term: str):
+        p = self._tables.get(term)
+        if p is None:
+            return None
+        return SegmentEngine._GlobalDfPostings(
+            self._global_df.get(term, p.df), p
+        )
+
+    def idf(self, df: int) -> float:
+        import numpy as np
+
+        return float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
+
+    def doc_lens(self, docids):
+        import numpy as np
+
+        return self._lens[np.searchsorted(self._ids, docids)]
+
+    def _live(self, docs):
+        from .deletes import live_mask
+
+        return live_mask(self._deleted, docs)
+
+    def search_phrase(self, query: str, k: int = 10):
+        """Phrase match within this shard (global-scored): conjunctive
+        candidates from the shard postings, then exact consecutive-terms
+        verification against the docs table restricted to the candidate
+        ids (shard-bounded read)."""
+        import numpy as np
+        import pyarrow as pa_
+        import pyarrow.dataset as pads
+
+        from .. import fsio
+
+        docs_path = self.manifest.get("docs_path")
+        text_col = self.manifest.get("docs_text_col", "text")
+        if docs_path is None:
+            raise ValueError("search_phrase needs docs_path in the manifest")
+        terms = list(self._analyze(query))  # keep duplicates + order
+        if not terms:
+            return []
+        cand = self.search(query, k=1 << 30, mode="and")
+        if not cand:
+            return []
+        score_of = dict(cand)
+        cand_ids = pa_.array(sorted(score_of), pa_.int64())
+        _dfs, _dpath = fsio.resolve(docs_path)
+        tbl = pads.dataset(_dpath, filesystem=_dfs).to_table(
+            columns=["doc_id", text_col],
+            filter=pads.field("doc_id").isin(cand_ids),
+        )
+        out = []
+        n = len(terms)
+        for doc_id, text in zip(
+            tbl["doc_id"].to_pylist(), tbl[text_col].to_pylist()
+        ):
+            toks = self._analyze(text or "")
+            for i in range(len(toks) - n + 1):
+                if toks[i: i + n] == terms:
+                    out.append((int(doc_id), float(score_of[int(doc_id)])))
+                    break
+        out.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return out[:k]
+
+    def search_query(self, query: str, k: int = 10):
+        """Lucene-mini query string over THIS shard (see index/qparse.py)."""
+        from .qparse import search_query as _sq
+
+        return _sq(self, query, k)
+
 
 class ShardedQueryService:
     """One actor per segment shard; a query fans out and the per-shard
@@ -265,6 +364,9 @@ class ShardedQueryService:
             def search(self, query: str, k: int, mode: str = "or"):
                 return self.eng.search(query, k, mode)
 
+            def search_query(self, query: str, k: int):
+                return self.eng.search_query(query, k)
+
         self._actors = [ShardActor.remote(out_dir, s, warm) for s in shards]
         ray.get([a.ready.remote() for a in self._actors])  # block until warm
 
@@ -274,6 +376,25 @@ class ShardedQueryService:
         if k <= 0:
             return []
         parts = ray.get([a.search.remote(query, k, mode) for a in self._actors])
+        return self._merge(parts, k)
+
+    def search_query(self, query: str, k: int = 10):
+        """Query-string search (index/qparse.py) fanned across shards.
+        Per-shard evaluation with global stats is the global evaluation
+        restricted to disjoint id ranges, so the shard top-k merge equals
+        ``QueryEngine.search_query`` exactly — including pure-filter
+        queries (all scores 0.0, merge degrades to doc_id order)."""
+        import ray
+
+        if k <= 0:
+            return []
+        parts = ray.get(
+            [a.search_query.remote(query, k) for a in self._actors]
+        )
+        return self._merge(parts, k)
+
+    @staticmethod
+    def _merge(parts, k: int):
         merged = [hit for p in parts for hit in p]
         merged.sort(key=lambda ds_: (-ds_[1], ds_[0]))
         return [(int(d), float(s)) for d, s in merged[:k]]

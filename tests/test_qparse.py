@@ -176,3 +176,63 @@ def test_qs_pure_negative_raises(ray_session, qs_index):
         eng.search_query("NOT stock", k=5)
     with pytest.raises(ValueError):
         eng.search_query("a OR NOT b", k=5)
+
+
+def test_qs_sharded_equals_global(ray_session, tmp_path):
+    """ShardedQueryService.search_query must equal QueryEngine.search_query
+    exactly — per-shard evaluation with global stats restricted to disjoint
+    id ranges, merged."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stocksight_ray.index.query import QueryEngine
+    from stocksight_ray.index.segments import build_resumable
+    from stocksight_ray.index.serve import ShardedQueryService
+
+    rng = np.random.RandomState(11)
+    words = ["stock", "market", "earnings", "strong", "weak", "recipe",
+             "pasta", "rises", "falls", "investor", "report", "record"]
+    n = 500
+    texts = [" ".join(rng.choice(words, size=rng.randint(5, 14)))
+             for _ in range(n)]
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "kind": pa.array([("tweet" if i % 3 else "news") for i in range(n)],
+                         pa.string()),
+        "n": pa.array([i * 10 for i in range(n)], pa.int64()),
+    })
+    out = str(tmp_path / "shq")
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, docs_path)
+    build_resumable(
+        rd.from_arrow(docs), out, text_col="text",
+        num_partitions=4, salt_range=128, shard_docs=128, batch_size=64,
+    )
+    # docs_path is serving config the assembly step doesn't know about
+    mpath = f"{out}/manifest.json"
+    with open(mpath) as f:
+        m = json.load(f)
+    m.update({"docs_path": docs_path, "docs_text_col": "text"})
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    eng = QueryEngine(out)
+    svc = ShardedQueryService(out)
+    try:
+        for qs in [
+            "stock market earnings",
+            "stock AND market AND strong",
+            '"strong earnings"',
+            "kind:tweet AND market",
+            "market AND NOT recipe",
+            "(recipe OR pasta) AND kind:news",
+            "n:>=2500 AND investor",
+            "kind:news",
+        ]:
+            assert svc.search_query(qs, k=10) == eng.search_query(qs, k=10), qs
+    finally:
+        svc.shutdown()

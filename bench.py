@@ -159,6 +159,7 @@ def run_ops_bench() -> dict:
         "q38_uniq_users_daily",
         "q54_dup_clusters",
         "q55_cross_dedup",
+        "q57_query_string",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.time()

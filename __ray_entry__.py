@@ -1238,8 +1238,9 @@ def q57_query_string(sf_dir: str):
     search-bar syntax the reference user types,
     /root/reference/export.json searchSourceJSON): bare-term OR, AND,
     quoted phrases, NOT exclusion, ``field:value`` filter-context clauses
-    (incl. numeric ranges) and grouping, all composed over the BM25 index
-    primitives.  Deterministic; golden oracle."""
+    (incl. numeric ranges), trailing-wildcard expansion and grouping, all
+    composed over the BM25 index primitives.  Deterministic; golden
+    oracle."""
     import shutil
 
     from stocksight_ray.index.build import build_index
@@ -1263,6 +1264,7 @@ def q57_query_string(sf_dir: str):
             "(scan OR sort) AND lang:de",       # grouping + filter
             "n_chars:>=400 AND query",          # numeric range filter
             'lang:zh AND "window sort"',        # filter + phrase
+            "wind* AND lang:es",                # wildcard expansion + filter
         ]
         frames = []
         for qid, qs in enumerate(qstrings):

@@ -61,6 +61,17 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Prefix:
+    """Trailing-wildcard term (``mark*``): expands against the index term
+    dictionary (ES query_string wildcard, scoring_boolean rewrite — each
+    expanded term scores BM25 and the doc sums matching terms).  The
+    prefix is lowercased but NOT stemmed (wildcard terms skip analysis in
+    ES too), so it matches the stored stemmed vocabulary directly."""
+
+    text: str
+
+
+@dataclass(frozen=True)
 class Filter:
     col: str
     op: str  # ==, <, <=, >, >=
@@ -82,7 +93,7 @@ class Or:
     children: Tuple["Node", ...]
 
 
-Node = Union[Term, Phrase, Filter, Not, And, Or]
+Node = Union[Term, Phrase, Prefix, Filter, Not, And, Or]
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +195,12 @@ class _Parser:
             if t is not None and t[0] == "colon":
                 self.next()
                 return self._field_clause(v)
+            if "*" in v:
+                if not (v.endswith("*") and "*" not in v[:-1] and len(v) > 1):
+                    raise ValueError(
+                        f"only trailing-wildcard terms are supported: {v!r}"
+                    )
+                return Prefix(v[:-1].lower())
             return Term(v)
         raise ValueError(f"unexpected token {v!r}")
 
@@ -238,6 +255,22 @@ def _eval(engine, node: Node):
     if isinstance(node, Term):
         ids, scores = _EMPTY
         for t in engine.analyze_query(node.text):
+            p = engine.lookup(t)
+            if p is None:
+                continue
+            tids, tfs = p.full()
+            contrib = engine.idf(p.df) * codec.tf_norm(
+                tfs, engine.doc_lens(tids), engine.avgdl, engine.k1, engine.b
+            )
+            ids, scores = _union_sum(ids, scores, tids, contrib)
+        return ids, scores
+
+    if isinstance(node, Prefix):
+        ids, scores = _EMPTY
+        # expansion set = every dictionary term with the prefix, folded in
+        # lexicographic order (deterministic; and shard-local expansion
+        # unions to exactly the global set, so sharded serving stays equal)
+        for t in engine.expand_prefix(node.text):
             p = engine.lookup(t)
             if p is None:
                 continue
@@ -399,3 +432,48 @@ def execute(engine, node: Node, k: int = 10) -> List[Tuple[int, float]]:
 def search_query(engine, query: str, k: int = 10) -> List[Tuple[int, float]]:
     """Parse + execute in one call (the `QueryEngine.search_query` body)."""
     return execute(engine, parse(query), k)
+
+
+def matching_docs(engine, query: str, *, columns=None, docs_path=None):
+    """The Kibana DASHBOARD QUERY CONTEXT as a Ray Dataset: every panel in
+    the reference's dashboard (/root/reference/export.json — metric /
+    terms / date_histogram aggs) recomputes over the docs matching the
+    search-bar query; this returns that match set as a streaming Dataset
+    so the existing agg operators (`pipelines/aggs.py` terms_topk /
+    date_histogram / metric_aggs, any groupby) compose directly:
+
+        eng = QueryEngine(index_dir)
+        terms_topk(matching_docs(eng, 'lang:en AND market'), "source", k=5)
+
+    The matched id set ships ONCE via ``ray.put`` (sorted int64 — the same
+    O(matches) driver bound as a search result) and each read batch
+    filters vectorized (searchsorted); the docs read streams with column
+    projection — the corpus is never collected."""
+    import ray
+    import ray.data as rd
+
+    from .. import fsio
+
+    docs_path = docs_path or engine.manifest.get("docs_path")
+    if docs_path is None:
+        raise ValueError("matching_docs needs docs_path (or manifest docs_path)")
+    ids, _scores = _eval(engine, parse(query))
+    if ids.size and engine._deleted.size:
+        ids = ids[engine._live(ids)]
+    ids_ref = ray.put(ids)
+
+    if columns is not None and "doc_id" not in columns:
+        columns = ["doc_id"] + list(columns)
+    _dfs, _dpath = fsio.resolve(docs_path)
+    ds = rd.read_parquet(_dpath, filesystem=_dfs, columns=columns)
+
+    def keep(batch):
+        import ray as _ray
+
+        allowed = _ray.get(ids_ref)
+        bids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pyarrow as pa_
+
+        return batch.filter(pa_.array(_member(allowed, bids)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

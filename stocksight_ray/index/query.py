@@ -195,6 +195,33 @@ class QueryEngine:
     def lookup(self, term: str) -> Optional[_TermPostings]:
         return self._load_part(term_partition(term, self.num_partitions)).get(term)
 
+    def expand_prefix(self, prefix: str, limit: Optional[int] = None) -> List[str]:
+        """Dictionary terms starting with ``prefix``, sorted (wildcard-term
+        expansion for index/qparse.py).  The full sorted vocabulary is
+        built lazily from projected term-column reads of every partition
+        (strings only — no df/payload bytes) and cached; term dictionaries
+        are O(vocabulary), tiny next to postings even at corpus scale.
+        ``limit`` caps the expansion (ES max_expansions-style; the cap is
+        the lexicographically FIRST ``limit`` terms, deterministic)."""
+        allt = getattr(self, "_all_terms", None)
+        if allt is None:
+            from .. import fsio
+
+            terms: List[str] = []
+            idx_dir = fsio.join(self.index_dir, "index")
+            for name in fsio.listdir(idx_dir):
+                if name.startswith("part-") and name.endswith(".parquet"):
+                    terms.extend(
+                        fsio.read_table(
+                            fsio.join(idx_dir, name), columns=["term"]
+                        )["term"].to_pylist()
+                    )
+            allt = self._all_terms = np.array(sorted(terms), dtype=object)
+        lo = np.searchsorted(allt, prefix)
+        hi = np.searchsorted(allt, prefix + "￿")
+        out = allt[lo:hi].tolist()
+        return out[:limit] if limit is not None else out
+
     def warm(self, deep: bool = False) -> None:
         """Preload every index partition (term dictionary + block metadata).
         A serving actor calls this once in __init__ so query latency never
@@ -721,12 +748,20 @@ class QueryEngine:
     def search_query(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         """Lucene-mini query-string search (the Kibana search-bar surface):
         ``sentiment:negative AND "stock market"``, AND/OR/NOT, quoted
-        phrases, ``field:value`` filter-context clauses — parsed and
-        composed over the primitives above.  See index/qparse.py for the
-        grammar and ES bool-query semantics."""
+        phrases, wildcards (``mark*``), ``field:value`` filter-context
+        clauses — parsed and composed over the primitives above.  See
+        index/qparse.py for the grammar and ES bool-query semantics."""
         from .qparse import search_query as _sq
 
         return _sq(self, query, k)
+
+    def matching_docs(self, query: str, *, columns=None, docs_path=None):
+        """Query-context Dataset (Kibana dashboard scope): the docs
+        matching a query string, streamed for downstream aggs — see
+        ``index/qparse.py::matching_docs``."""
+        from .qparse import matching_docs as _md
+
+        return _md(self, query, columns=columns, docs_path=docs_path)
 
     # ------------------------------------------------------------------
     def search_table(self, query: str, k: int = 10, method: str = "auto") -> pa.Table:

@@ -277,6 +277,23 @@ class SegmentEngine:
 
         return float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
 
+    def expand_prefix(self, prefix: str, limit=None):
+        """Shard-local wildcard expansion (qparse Prefix).  Uncapped
+        shard-local expansion unions to EXACTLY the global expansion set
+        (every global term lives in ≥1 shard and a term absent from this
+        shard contributes nothing here), so sharded search_query stays
+        equal to the global engine; a per-shard ``limit`` would break that
+        and is accepted only for explicit local use."""
+        allt = getattr(self, "_sorted_terms", None)
+        if allt is None:
+            allt = self._sorted_terms = sorted(self._tables)
+        import bisect
+
+        lo = bisect.bisect_left(allt, prefix)
+        hi = bisect.bisect_left(allt, prefix + "￿")
+        out = allt[lo:hi]
+        return out[:limit] if limit is not None else out
+
     def doc_lens(self, docids):
         import numpy as np
 

@@ -178,6 +178,70 @@ def test_qs_pure_negative_raises(ray_session, qs_index):
         eng.search_query("a OR NOT b", k=5)
 
 
+def test_parse_prefix():
+    from stocksight_ray.index.qparse import Prefix
+
+    assert parse("mark*") == Prefix("mark")
+    assert parse("MARK* AND stock") == And((Prefix("mark"), Term("stock")))
+    for bad in ("*", "m*k", "**", "ma*k*"):
+        with pytest.raises(ValueError):
+            parse(bad)
+
+
+def test_qs_prefix_equals_manual_expansion(ray_session, qs_index):
+    out, _ = qs_index
+    eng = _engine(out)
+    exp_terms = eng.expand_prefix("re")
+    assert exp_terms  # recession/recipe/record/report... stems
+    assert all(t.startswith("re") for t in exp_terms)
+    got = eng.search_query("re*", k=20)
+    exp = eng.search(" ".join(exp_terms), k=20, method="exhaustive")
+    assert got == exp
+    # no-match prefix is empty, not an error
+    assert eng.search_query("zzz*", k=5) == []
+    # limit caps deterministically at the lexicographic head
+    assert eng.expand_prefix("re", limit=1) == exp_terms[:1]
+
+
+def test_matching_docs_scoped_aggs(ray_session, qs_index):
+    """Kibana dashboard query context: panel aggs recompute over the
+    search-bar match set."""
+    import pandas as pd
+
+    from stocksight_ray.pipelines.aggs import metric_aggs, terms_topk
+
+    out, rows = qs_index
+    eng = _engine(out)
+    q = "market AND NOT recipe"
+    match_ids = sorted(
+        d for d, _ in eng.search_query(q, k=1 << 30)
+    )
+    ds = eng.matching_docs(q, columns=["kind", "n"])
+    got_rows = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got_rows["doc_id"].tolist() == match_ids
+
+    # terms agg over the query scope == pandas oracle on the match set
+    got = terms_topk(eng.matching_docs(q, columns=["kind"]), "kind", k=5)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    oracle = (
+        pd.DataFrame({"kind": [rows[i][1] for i in match_ids]})
+        .value_counts("kind").reset_index(name="cnt")
+        .sort_values(["cnt", "kind"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["cnt", "kind"], ascending=[False, True]).reset_index(drop=True)
+    assert got["kind"].tolist() == oracle["kind"].tolist()
+    assert got["cnt"].tolist() == oracle["cnt"].tolist()
+
+    # metric agg over the scope
+    m = metric_aggs(eng.matching_docs(q, columns=["n"]), "n")
+    exp_vals = [rows[i][2] for i in match_ids]
+    assert int(m["cnt"].iloc[0]) == len(exp_vals)
+    assert float(m["avg_n"].iloc[0]) == pytest.approx(
+        sum(exp_vals) / len(exp_vals)
+    )
+
+
 def test_qs_sharded_equals_global(ray_session, tmp_path):
     """ShardedQueryService.search_query must equal QueryEngine.search_query
     exactly — per-shard evaluation with global stats restricted to disjoint
@@ -232,6 +296,8 @@ def test_qs_sharded_equals_global(ray_session, tmp_path):
             "(recipe OR pasta) AND kind:news",
             "n:>=2500 AND investor",
             "kind:news",
+            "re* AND stock",
+            "inve*",
         ]:
             assert svc.search_query(qs, k=10) == eng.search_query(qs, k=10), qs
     finally:

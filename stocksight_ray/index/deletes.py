@@ -370,10 +370,21 @@ def compact(out_dir: str) -> dict:
 
     # ---- single-pass layout: purge global partitions + norms directly ----
     import ray
-    import pyarrow.dataset as pads
 
-    _nfs, _npath = fsio.resolve(fsio.join(out_dir, "norms"))
-    norms_tbl = pads.dataset(_npath, filesystem=_nfs).to_table()
+    # read each norms file ONCE: the per-file tables serve both the global
+    # doc-length arrays (postings purge lookups) and the per-file rewrite
+    # below — no second scan of the doc-length store
+    norms_dir = fsio.join(out_dir, "norms")
+    norms_files = [
+        fsio.join(norms_dir, n) for n in sorted(fsio.listdir(norms_dir))
+        if n.endswith(".parquet")
+    ]
+    norms_tbls = {p: fsio.read_table(p) for p in norms_files}
+    norms_tbl = (
+        pa.concat_tables(norms_tbls.values()) if norms_tbls
+        else pa.table({"doc_id": pa.array([], pa.int64()),
+                       "doc_len": pa.array([], pa.int64())})
+    )
     if norms_tbl.num_rows == 0:
         # a compactable index always has a nonempty doc-length store; an
         # empty one with live tombstones means the norms were lost (e.g. a
@@ -427,13 +438,8 @@ def compact(out_dir: str) -> dict:
     # sharded branch: a readable, consistent norms set exists at every
     # instant and a crashed compaction re-runs idempotently (filtering an
     # already-filtered file is a no-op) — never delete-dir-then-write
-    norms_dir = fsio.join(out_dir, "norms")
     n_docs, total_len = 0, 0
-    for fname in sorted(fsio.listdir(norms_dir)):
-        if not fname.endswith(".parquet"):
-            continue
-        fpath = fsio.join(norms_dir, fname)
-        ftbl = fsio.read_table(fpath)
+    for fpath, ftbl in norms_tbls.items():
         fids = ftbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         fkeep = live_mask(deleted_all, fids)
         if not fkeep.all():

@@ -207,9 +207,15 @@ class _Parser:
     def _field_clause(self, col: str) -> Filter:
         kind, v = self.next()
         if kind == "phrase":
-            return Filter(col, "==", v[1:-1])
+            return Filter(col, "==", v[1:-1])  # quoted value = literal
         if kind != "word":
             raise ValueError(f"{col}: needs a value")
+        if "*" in v:
+            # fail loudly rather than comparing the literal '*' and
+            # silently matching nothing (quote the value to mean a literal)
+            raise ValueError(
+                f"wildcards are not supported in field values: {col}:{v}"
+            )
         op = "=="
         for pre in (">=", "<=", ">", "<"):
             if v.startswith(pre):
@@ -246,31 +252,34 @@ def parse(s: str) -> Node:
 
 _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
 
+# A clause whose text analyzes to zero tokens (stopword-only, e.g. 'the')
+# is REMOVED from the boolean query — Lucene/ES query_string drops
+# analyzed-away clauses rather than matching nothing, so 'the AND market'
+# equals 'market' (and search_and parity holds: its analyzer drops the
+# stopword the same way).  Distinct from a real token absent from the
+# corpus, which correctly evaluates to the empty set.
+_NEUTRAL = object()
+
 
 def _eval(engine, node: Node):
-    """→ (ids sorted int64, scores float64 | None).  scores=None marks a
-    pure filter-context subtree (non-scoring)."""
+    """→ (ids sorted int64, scores float64 | None) — scores=None marks a
+    pure filter-context subtree (non-scoring) — or ``_NEUTRAL`` when the
+    clause analyzed away entirely (see above)."""
     from . import codec
 
-    if isinstance(node, Term):
+    if isinstance(node, (Term, Prefix)):
+        if isinstance(node, Term):
+            terms = engine.analyze_query(node.text)
+            if not terms:
+                return _NEUTRAL
+        else:
+            # expansion set = every dictionary term with the prefix, folded
+            # in lexicographic order (deterministic; shard-local expansion
+            # unions to exactly the global set, so sharded serving stays
+            # equal).  Zero expansions = a real no-match, not neutral.
+            terms = engine.expand_prefix(node.text)
         ids, scores = _EMPTY
-        for t in engine.analyze_query(node.text):
-            p = engine.lookup(t)
-            if p is None:
-                continue
-            tids, tfs = p.full()
-            contrib = engine.idf(p.df) * codec.tf_norm(
-                tfs, engine.doc_lens(tids), engine.avgdl, engine.k1, engine.b
-            )
-            ids, scores = _union_sum(ids, scores, tids, contrib)
-        return ids, scores
-
-    if isinstance(node, Prefix):
-        ids, scores = _EMPTY
-        # expansion set = every dictionary term with the prefix, folded in
-        # lexicographic order (deterministic; and shard-local expansion
-        # unions to exactly the global set, so sharded serving stays equal)
-        for t in engine.expand_prefix(node.text):
+        for t in terms:
             p = engine.lookup(t)
             if p is None:
                 continue
@@ -282,6 +291,8 @@ def _eval(engine, node: Node):
         return ids, scores
 
     if isinstance(node, Phrase):
+        if not engine.analyze_query(node.text):
+            return _NEUTRAL
         hits = engine.search_phrase(node.text, k=1 << 30)
         if not hits:
             return _EMPTY
@@ -293,39 +304,39 @@ def _eval(engine, node: Node):
     if isinstance(node, Filter):
         return _eval_filter(engine, node), None
 
-    if isinstance(node, Or):
-        ids, scores = _EMPTY
-        any_scored = False
-        for c in node.children:
-            if isinstance(c, Not):
-                raise ValueError(
-                    "NOT is only valid AND-ed with a positive clause"
-                )
-            cids, cscores = _eval(engine, c)
-            if cscores is None:
-                cscores = np.zeros(cids.size, dtype=np.float64)
-            else:
-                any_scored = True
-            ids, scores = _union_sum(ids, scores, cids, cscores)
-        return ids, (scores if any_scored else None)
-
-    if isinstance(node, And):
+    if isinstance(node, (Or, And)):
         pos = [c for c in node.children if not isinstance(c, Not)]
         neg = [c.child for c in node.children if isinstance(c, Not)]
         if not pos:
             raise ValueError("pure-negative query (every clause is NOT)")
-        evald = [_eval(engine, c) for c in pos]
+        evald = [e for c in pos if (e := _eval(engine, c)) is not _NEUTRAL]
+        if not evald:
+            # every positive clause analyzed away → the bool query is empty
+            return _EMPTY
+
+        if isinstance(node, Or):
+            # ES bool: should-clauses union with score sums; must_not
+            # ('a -b', 'a OR NOT b') applies at the bool level, excluding
+            # without scoring — the standard Lucene default-OR negation
+            ids, scores = _EMPTY
+            any_scored = False
+            for cids, cscores in evald:
+                if cscores is None:
+                    cscores = np.zeros(cids.size, dtype=np.float64)
+                else:
+                    any_scored = True
+                ids, scores = _union_sum(ids, scores, cids, cscores)
+            ids, scores = _exclude(engine, ids, scores, neg)
+            return ids, (scores if any_scored else None)
+
         cand = None
         for cids, _ in evald:
             cand = cids if cand is None else _intersect(cand, cids)
             if cand.size == 0:
                 return _EMPTY
-        for n in neg:
-            nids, _ = _eval(engine, n)
-            if nids.size:
-                cand = cand[~_member(nids, cand)]
-                if cand.size == 0:
-                    return _EMPTY
+        cand, _unused = _exclude(engine, cand, None, neg)
+        if cand.size == 0:
+            return _EMPTY
         any_scored = any(s is not None for _, s in evald)
         if not any_scored:
             return cand, None
@@ -340,8 +351,26 @@ def _eval(engine, node: Node):
         return cand, scores
 
     if isinstance(node, Not):
-        raise ValueError("NOT is only valid AND-ed with a positive clause")
+        raise ValueError("NOT is only valid alongside a positive clause")
     raise TypeError(f"unknown node {node!r}")
+
+
+def _exclude(engine, ids: np.ndarray, scores, neg_nodes):
+    """Drop docs matching any negative clause (ES must_not: non-scoring).
+    Analyzed-away negatives exclude nothing."""
+    for n in neg_nodes:
+        if ids.size == 0:
+            break
+        e = _eval(engine, n)
+        if e is _NEUTRAL:
+            continue
+        nids, _ = e
+        if nids.size:
+            keep = ~_member(nids, ids)
+            ids = ids[keep]
+            if scores is not None:
+                scores = scores[keep]
+    return ids, scores
 
 
 def _eval_filter(engine, node: Filter) -> np.ndarray:
@@ -377,12 +406,12 @@ def _eval_filter(engine, node: Filter) -> np.ndarray:
 
 
 def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    """bool mask: vals ∈ sorted_arr (both int64; vals need not be sorted)."""
-    if sorted_arr.size == 0:
-        return np.zeros(vals.size, dtype=bool)
-    pos = np.searchsorted(sorted_arr, vals)
-    pos = np.minimum(pos, sorted_arr.size - 1)
-    return sorted_arr[pos] == vals
+    """bool mask: vals ∈ sorted_arr (both int64; vals need not be sorted).
+    The one sorted-membership kernel in the index package — inverse of
+    deletes.live_mask."""
+    from .deletes import live_mask
+
+    return ~live_mask(sorted_arr, vals)
 
 
 def _intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -415,8 +444,12 @@ def execute(engine, node: Node, k: int = 10) -> List[Tuple[int, float]]:
     """Evaluate a parsed query against a QueryEngine → top-k
     [(doc_id, score)], score desc then doc_id asc; a pure-filter query
     (no text clause anywhere) returns score 0.0 for every match, ordered
-    by doc_id."""
-    ids, scores = _eval(engine, node)
+    by doc_id; a query whose every clause analyzes away (stopwords only)
+    matches nothing."""
+    e = _eval(engine, node)
+    if e is _NEUTRAL:
+        return []
+    ids, scores = e
     if ids.size and engine._deleted.size:
         live = engine._live(ids)
         ids = ids[live]
@@ -457,15 +490,18 @@ def matching_docs(engine, query: str, *, columns=None, docs_path=None):
     docs_path = docs_path or engine.manifest.get("docs_path")
     if docs_path is None:
         raise ValueError("matching_docs needs docs_path (or manifest docs_path)")
-    ids, _scores = _eval(engine, parse(query))
+    e = _eval(engine, parse(query))
+    ids = e[0] if e is not _NEUTRAL else _EMPTY[0]
     if ids.size and engine._deleted.size:
         ids = ids[engine._live(ids)]
     ids_ref = ray.put(ids)
 
-    if columns is not None and "doc_id" not in columns:
-        columns = ["doc_id"] + list(columns)
+    # doc_id is needed for the match filter; honor the caller's projection
+    # exactly by dropping it again after filtering when it wasn't requested
+    drop_id = columns is not None and "doc_id" not in columns
+    read_cols = (["doc_id"] + list(columns)) if drop_id else columns
     _dfs, _dpath = fsio.resolve(docs_path)
-    ds = rd.read_parquet(_dpath, filesystem=_dfs, columns=columns)
+    ds = rd.read_parquet(_dpath, filesystem=_dfs, columns=read_cols)
 
     def keep(batch):
         import ray as _ray
@@ -474,6 +510,7 @@ def matching_docs(engine, query: str, *, columns=None, docs_path=None):
         bids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         import pyarrow as pa_
 
-        return batch.filter(pa_.array(_member(allowed, bids)))
+        out = batch.filter(pa_.array(_member(allowed, bids)))
+        return out.drop_columns(["doc_id"]) if drop_id else out
 
     return ds.map_batches(keep, batch_format="pyarrow")

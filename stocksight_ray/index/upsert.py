@@ -37,9 +37,12 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-# manifest keys preserved across the rebuild (serving config the assembly
-# step doesn't know about — e.g. the docs table used by phrase queries)
-_PRESERVE_KEYS = ("docs_path", "docs_text_col")
+# Keys the rebuild intentionally refreshes are never copied forward; every
+# OTHER old-manifest key (docs_path, docs_text_col, any extra_manifest the
+# index was built with) is preserved across the rebuild — preserving by
+# mechanism, not by whitelist, so future serving-config keys survive too.
+# Transient per-operation stats are also dropped (stale after a rebuild).
+_TRANSIENT_KEYS = ("compact_wall_sec",)
 
 
 def upsert_docs(
@@ -128,8 +131,8 @@ def upsert_docs(
     undelete_docs(out_dir, upd_ids, id_col=id_col)
 
     preserved = {
-        k: manifest[k] for k in _PRESERVE_KEYS
-        if k in manifest and k not in new_manifest
+        k: v for k, v in manifest.items()
+        if k not in new_manifest and k not in _TRANSIENT_KEYS
     }
     if preserved:
         new_manifest.update(preserved)

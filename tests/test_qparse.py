@@ -175,7 +175,42 @@ def test_qs_pure_negative_raises(ray_session, qs_index):
     with pytest.raises(ValueError):
         eng.search_query("NOT stock", k=5)
     with pytest.raises(ValueError):
-        eng.search_query("a OR NOT b", k=5)
+        eng.search_query("NOT a NOT b", k=5)
+
+
+def test_qs_default_or_negation(ray_session, qs_index):
+    """'market -recipe' (the standard Kibana negation) = should:[market],
+    must_not:[recipe] — same result set as 'market AND NOT recipe' when
+    there's a single positive."""
+    out, _ = qs_index
+    eng = _engine(out)
+    got = eng.search_query("market -recipe", k=20)
+    exp = eng.search_query("market AND NOT recipe", k=20)
+    assert got == exp
+    assert got
+    assert eng.search_query("market NOT recipe", k=20) == exp
+
+
+def test_qs_stopword_clause_drops(ray_session, qs_index):
+    """A clause that analyzes to zero tokens (stopword) is removed from
+    the boolean query, not evaluated as the empty set — search_and parity
+    (its analyzer drops the stopword identically)."""
+    out, _ = qs_index
+    eng = _engine(out)
+    assert eng.search_query("the AND market", k=10) == \
+        eng.search_and("the market", k=10)
+    assert eng.search_query("the market", k=10) == \
+        eng.search(" market", k=10, method="exhaustive")
+    # all clauses analyzed away → no hits, no error
+    assert eng.search_query("the AND a", k=10) == []
+    # analyzed-away negative excludes nothing
+    assert eng.search_query("market AND NOT the", k=10) == \
+        eng.search(" market", k=10, method="exhaustive")
+
+
+def test_qs_field_value_wildcard_rejected():
+    with pytest.raises(ValueError):
+        parse("kind:a*")
 
 
 def test_parse_prefix():
@@ -216,9 +251,12 @@ def test_matching_docs_scoped_aggs(ray_session, qs_index):
     match_ids = sorted(
         d for d, _ in eng.search_query(q, k=1 << 30)
     )
-    ds = eng.matching_docs(q, columns=["kind", "n"])
+    ds = eng.matching_docs(q, columns=["doc_id", "kind", "n"])
     got_rows = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got_rows["doc_id"].tolist() == match_ids
+    # the caller's projection is honored exactly (doc_id used internally
+    # for the match filter is dropped when not requested)
+    assert eng.matching_docs(q, columns=["kind"]).schema().names == ["kind"]
 
     # terms agg over the query scope == pandas oracle on the match set
     got = terms_topk(eng.matching_docs(q, columns=["kind"]), "kind", k=5)

@@ -29,13 +29,21 @@ from .query import QueryEngine
 
 class SearchStage:
     """map_batches actor: (query_id, query[, k]) → (query_id, rank, doc_id,
-    score) rows.  Engine + partitions load once per actor."""
+    score) rows.  Engine + partitions load once per actor.
+    ``mode="match"`` scores the row's text as a plain BM25 match (the
+    ``method`` scorer); ``mode="query_string"`` parses it with the
+    Lucene-mini grammar (index/qparse.py) — bulk offline evaluation of
+    saved searches."""
 
-    def __init__(self, index_dir: str, default_k: int = 10, method: str = "auto"):
+    def __init__(self, index_dir: str, default_k: int = 10,
+                 method: str = "auto", mode: str = "match"):
+        if mode not in ("match", "query_string"):
+            raise ValueError(f"mode must be match|query_string, got {mode!r}")
         self.engine = QueryEngine(index_dir)
         self.engine.warm(deep=True)
         self.default_k = default_k
         self.method = method
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
@@ -47,9 +55,12 @@ class SearchStage:
         for qid, q, k in zip(
             batch["query_id"].to_pylist(), batch["query"].to_pylist(), ks
         ):
-            for rank, (d, s) in enumerate(
-                self.engine.search(q, int(k), self.method), start=1
-            ):
+            hits = (
+                self.engine.search_query(q, int(k))
+                if self.mode == "query_string"
+                else self.engine.search(q, int(k), self.method)
+            )
+            for rank, (d, s) in enumerate(hits, start=1):
                 qids.append(qid)
                 ranks.append(rank)
                 docs.append(d)
@@ -70,13 +81,19 @@ def search_dataset(
     *,
     k: int = 10,
     method: str = "auto",
+    mode: str = "match",
     concurrency=(1, 8),
     batch_size: int = 64,
 ):
-    """Bulk top-k over a Dataset of (query_id:int64, query:string[, k])."""
+    """Bulk top-k over a Dataset of (query_id:int64, query:string[, k]).
+    ``mode="query_string"`` evaluates each row with the Lucene-mini
+    grammar instead of a plain match."""
     return queries.map_batches(
         SearchStage,
-        fn_constructor_kwargs={"index_dir": index_dir, "default_k": k, "method": method},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "default_k": k,
+            "method": method, "mode": mode,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -75,6 +75,28 @@ def test_search_dataset_stage(ray_session, built_index):
         ]
 
 
+def test_search_dataset_query_string_mode(ray_session, built_index):
+    import ray.data as rd
+
+    from stocksight_ray.index.query import QueryEngine
+    from stocksight_ray.index.serve import search_dataset
+
+    queries = ["stock AND market", "earn* OR investor", "market AND NOT stock"]
+    qds = rd.from_items(
+        [{"query_id": i, "query": q} for i, q in enumerate(queries)]
+    )
+    got = search_dataset(
+        qds, built_index, k=5, concurrency=2, mode="query_string"
+    ).to_pandas()
+    eng = QueryEngine(built_index)
+    for i, q in enumerate(queries):
+        exp = eng.search_query(q, 5)
+        sub = got[got["query_id"] == i].sort_values("rank")
+        assert [(int(d), float(s)) for d, s in zip(sub["doc_id"], sub["score"])] == [
+            (d, pytest.approx(s)) for d, s in exp
+        ]
+
+
 def test_query_service_actors(ray_session, built_index):
     from stocksight_ray.index.query import QueryEngine
     from stocksight_ray.index.serve import QueryService

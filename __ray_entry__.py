@@ -1277,6 +1277,37 @@ def q57_query_string(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q58_query_context_agg(sf_dir: str):
+    """Kibana dashboard panel semantics: a terms agg recomputed over the
+    search-bar QUERY CONTEXT (`qparse.matching_docs` → the existing
+    `aggs.terms_topk` operator, unchanged).  The query here is pure filter
+    context (`lang:en AND n_chars:>=300`), which is exactly
+    SQL-expressible — so unlike the BM25 queries this composition carries
+    an independent DuckDB oracle."""
+    import shutil
+
+    from stocksight_ray.index.build import build_index
+    from stocksight_ray.index.query import QueryEngine
+    from stocksight_ray.pipelines.aggs import terms_topk
+
+    out_dir = tempfile.mkdtemp(prefix="q58_index_")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        build_index(
+            _docs(sf_dir), out_dir, text_col="text", id_col="doc_id",
+            num_partitions=8, batch_size=256,
+            extra_manifest={"docs_path": docs_path, "docs_text_col": "text"},
+        )
+        eng = QueryEngine(out_dir)
+        scoped = eng.matching_docs(
+            "lang:en AND n_chars:>=300", columns=["source"]
+        )
+        out = terms_topk(scoped, "source", k=10)
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q51_topk_per_group(sf_dir: str):
     """Nested aggregation (ES sub-agg): top-5 users by summed value per
     event_type — pre-reduced sums + bucketed vectorized per-group head."""
@@ -1372,6 +1403,9 @@ def rotated_queries() -> dict[str, Callable[[str], Any]]:
         "q33_mod_sample": q33_mod_sample,
         "q35_normalize": q35_normalize,
         "q42_avg_events_per_user": q42_avg_events_per_user,
+        # not rotated OUT — q58 was born here: the 50-slot driver snapshot
+        # is full, and the local gate gives it the same oracle check
+        "q58_query_context_agg": q58_query_context_agg,
     }
 
 
@@ -1663,6 +1697,13 @@ def rotated_oracle_sql() -> dict[str, str]:
         ),
         "q33_mod_sample": (
             "SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 17"
+        ),
+        # pure filter-context query scope == SQL WHERE exactly (the BM25
+        # text-clause scopes are covered by the q57 golden instead)
+        "q58_query_context_agg": (
+            "SELECT source, count(*) AS cnt FROM documents "
+            "WHERE lang = 'en' AND n_chars >= 300 "
+            "GROUP BY source ORDER BY cnt DESC, source LIMIT 10"
         ),
         "q35_normalize": (
             "SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) "

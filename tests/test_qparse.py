@@ -336,6 +336,8 @@ def test_qs_sharded_equals_global(ray_session, tmp_path):
             "kind:news",
             "re* AND stock",
             "inve*",
+            "market -recipe",
+            "the AND market",
         ]:
             assert svc.search_query(qs, k=10) == eng.search_query(qs, k=10), qs
     finally:

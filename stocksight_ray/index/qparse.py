@@ -235,6 +235,21 @@ def _coerce(v: str) -> object:
         return v
 
 
+def _validate(node: Node) -> None:
+    """Structural validity, checked UP FRONT (parse time and execute
+    time): a query's validity must not depend on data — the evaluator
+    short-circuits empty conjunctions before touching negatives, which
+    would otherwise hide a nested pure-negative only when the positives
+    happen to match nothing."""
+    if isinstance(node, Not):
+        raise ValueError("NOT is only valid alongside a positive clause")
+    if isinstance(node, (And, Or)):
+        if not any(not isinstance(c, Not) for c in node.children):
+            raise ValueError("pure-negative query (every clause is NOT)")
+        for c in node.children:
+            _validate(c.child if isinstance(c, Not) else c)
+
+
 def parse(s: str) -> Node:
     toks = _tokenize(s)
     if not toks:
@@ -243,6 +258,7 @@ def parse(s: str) -> Node:
     node = p.or_expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input at token {p.peek()!r}")
+    _validate(node)
     return node
 
 
@@ -307,7 +323,7 @@ def _eval(engine, node: Node):
     if isinstance(node, (Or, And)):
         pos = [c for c in node.children if not isinstance(c, Not)]
         neg = [c.child for c in node.children if isinstance(c, Not)]
-        if not pos:
+        if not pos:  # backstop — _validate rejects this before evaluation
             raise ValueError("pure-negative query (every clause is NOT)")
         evald = [e for c in pos if (e := _eval(engine, c)) is not _NEUTRAL]
         if not evald:
@@ -446,6 +462,7 @@ def execute(engine, node: Node, k: int = 10) -> List[Tuple[int, float]]:
     (no text clause anywhere) returns score 0.0 for every match, ordered
     by doc_id; a query whose every clause analyzes away (stopwords only)
     matches nothing."""
+    _validate(node)
     e = _eval(engine, node)
     if e is _NEUTRAL:
         return []

@@ -33,7 +33,12 @@ def test_parse_parens_override():
 def test_parse_not_and_minus():
     assert parse("a AND NOT b") == And((Term("a"), Not(Term("b"))))
     assert parse("a AND -b") == And((Term("a"), Not(Term("b"))))
-    assert parse("NOT NOT a") == Not(Not(Term("a")))
+    # structural validity is checked at parse time (data-independent):
+    # a top-level / double negation has no positive clause to stand on
+    with pytest.raises(ValueError):
+        parse("NOT NOT a")
+    with pytest.raises(ValueError):
+        parse("a AND NOT (NOT b NOT c)")
 
 
 def test_parse_phrase_and_field():

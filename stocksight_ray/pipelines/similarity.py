@@ -251,6 +251,25 @@ def ivf_topk(
     return brute_force_topk(sub, q, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ann_recall(exact: pa.Table, approx: pa.Table,
+               id_col: str = "vec_id") -> float:
+    """recall@k of an approximate top-k table vs the exact brute-force
+    one (both in the (query_idx, rank, id, score) layout produced by
+    ``brute_force_topk`` / ``ivf_topk``): mean over queries of
+    |approx ∩ exact| / |exact|.  The standard IVF quality dial — sweep
+    ``nprobe`` until recall clears the target, then freeze it."""
+    import pandas as pd
+
+    e = exact.to_pandas() if not isinstance(exact, pd.DataFrame) else exact
+    a = approx.to_pandas() if not isinstance(approx, pd.DataFrame) else approx
+    recalls = []
+    for qi, ge in e.groupby("query_idx"):
+        want = set(ge[id_col])
+        got = set(a[a["query_idx"] == qi][id_col])
+        recalls.append(len(want & got) / len(want) if want else 1.0)
+    return float(np.mean(recalls)) if recalls else 1.0
+
+
 def kmeans_fit(ds, k: int = 16, vec_col: str = "embedding",
                id_col: str = "vec_id", *, iters: int = 5, seed: int = 5,
                init: Optional[np.ndarray] = None) -> np.ndarray:

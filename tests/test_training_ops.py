@@ -309,6 +309,8 @@ def test_ivf_topk_recall(ray_session):
         brute_force_topk, ivf_partition, ivf_topk, train_centroids,
     )
 
+    from stocksight_ray.pipelines.similarity import ann_recall
+
     ds = rd.read_parquet(f"{SF}/embeddings.parquet")
     emb = pd.read_parquet(f"{SF}/embeddings.parquet")
     m = np.asarray(list(emb["embedding"]), dtype=np.float64)
@@ -323,6 +325,11 @@ def test_ivf_topk_recall(ray_session):
         a = set(approx[approx["query_idx"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
+    # the packaged metric computes exactly this
+    assert ann_recall(exact, approx) == pytest.approx(np.mean(recalls))
+    # full probe = exhaustive scan = perfect recall
+    full = ivf_topk(bucketed, cent, queries, k=10, nprobe=8).to_pandas()
+    assert ann_recall(exact, full) == 1.0
 
 
 def test_train_centroids_sorted_corpus_balanced(ray_session):

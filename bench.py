@@ -435,69 +435,38 @@ def _warm_workers(cpus: int) -> None:
 
 def main_scaling() -> None:
     # Pre-generate the corpus once (its own Ray session) so children only
-    # measure the pipeline.
+    # measure the pipeline, then reuse the shared interleaved-pairs runner
+    # (median-of-pairs headline; see run_scaling_pairs).
     import ray
 
     ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
     ensure_corpus(N_PAGES_SCALING)
     ray.shutdown()
 
-    # Two interleaved runs per level; efficiency taken from the best
-    # same-conditions PAIR (single runs on this shared box swing 2x with
-    # background load; adjacent runs see the same load, so the paired
-    # ratio is the stable capability signal).
-    results = {8: [], 32: []}
-    for cpus in (8, 32, 8, 32):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-        if not line:
-            print(json.dumps({"error": proc.stderr[-2000:]}))
-            sys.exit(1)
-        results[cpus].append(json.loads(line[-1]))
+    try:
+        s = run_scaling_pairs(max_pairs=2)
+    except Exception as ex:
+        print(json.dumps({"error": str(ex)[:2000]}))
+        sys.exit(1)
 
     best = {
-        c: max(results[c], key=lambda r: r["docs_per_sec"]) for c in (8, 32)
+        c: max(s["raw_runs"][str(c)], key=lambda r: r["docs_per_sec"])
+        for c in (8, 32)
     }
-    thr8 = best[8]["docs_per_sec"]
-    thr32 = best[32]["docs_per_sec"]
-    idx8 = max(r["index_docs_per_sec"] for r in results[8])
-    idx32 = max(r["index_docs_per_sec"] for r in results[32])
-    # per-pair ratios (see main_bench): adjacent runs share load conditions
-    n_pairs = min(len(results[8]), len(results[32]))
-    pair_effs = [
-        round((results[32][i]["docs_per_sec"] / results[8][i]["docs_per_sec"]) / 4, 3)
-        for i in range(n_pairs)
-    ]
-    idx_pair_effs = [
-        round(
-            (results[32][i]["index_docs_per_sec"] / results[8][i]["index_docs_per_sec"]) / 4,
-            3,
-        )
-        for i in range(n_pairs)
-    ]
-    import statistics
-
     out = {
         "metric": "scaling efficiency N=8 -> 4N=32 cpus (webtext ingest+index)",
-        # MEDIAN of per-pair ratios (ADVICE r3: max of noisy ratios biases
-        # upward); the best pair is recorded under an explicit label
-        "value": round(statistics.median(pair_effs), 3),
+        "value": s["efficiency_8_to_32"],
         "unit": "efficiency",
         "queries": {
-            "docs_per_sec_8cpu": thr8,
-            "docs_per_sec_32cpu": thr32,
+            **{k: s[k] for k in (
+                "docs_per_sec_8cpu", "docs_per_sec_32cpu",
+                "pair_efficiencies", "best_pair_efficiency",
+                "index_docs_per_sec_8cpu", "index_docs_per_sec_32cpu",
+                "index_efficiency_8_to_32", "index_best_pair_efficiency",
+                "index_pair_efficiencies",
+            )},
             "total_sec_8cpu": best[8]["total_sec"],
             "total_sec_32cpu": best[32]["total_sec"],
-            "pair_efficiencies": pair_effs,
-            "best_pair_efficiency": max(pair_effs),
-            "index_docs_per_sec_8cpu": idx8,
-            "index_docs_per_sec_32cpu": idx32,
-            "index_efficiency_8_to_32": round(statistics.median(idx_pair_effs), 3),
-            "index_best_pair_efficiency": max(idx_pair_effs),
-            "index_pair_efficiencies": idx_pair_effs,
         },
         "sf": SF,
         "num_cpus": [8, 32],

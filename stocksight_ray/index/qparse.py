@@ -224,6 +224,20 @@ class _Parser:
         return Filter(col, op, _coerce(v))
 
 
+def prefix_range(sorted_terms: List[str], prefix: str,
+                 limit: Optional[int] = None) -> List[str]:
+    """Terms in a sorted vocabulary starting with ``prefix`` — the one
+    wildcard-expansion kernel, shared by QueryEngine.expand_prefix and
+    SegmentEngine.expand_prefix.  ``limit`` caps at the lexicographically
+    FIRST ``limit`` matches (ES max_expansions-style, deterministic)."""
+    import bisect
+
+    lo = bisect.bisect_left(sorted_terms, prefix)
+    hi = bisect.bisect_left(sorted_terms, prefix + "￿")
+    out = sorted_terms[lo:hi]
+    return out[:limit] if limit is not None else out
+
+
 def _coerce(v: str) -> object:
     try:
         return int(v)

@@ -200,9 +200,7 @@ class QueryEngine:
         expansion for index/qparse.py).  The full sorted vocabulary is
         built lazily from projected term-column reads of every partition
         (strings only — no df/payload bytes) and cached; term dictionaries
-        are O(vocabulary), tiny next to postings even at corpus scale.
-        ``limit`` caps the expansion (ES max_expansions-style; the cap is
-        the lexicographically FIRST ``limit`` terms, deterministic)."""
+        are O(vocabulary), tiny next to postings even at corpus scale."""
         allt = getattr(self, "_all_terms", None)
         if allt is None:
             from .. import fsio
@@ -216,11 +214,10 @@ class QueryEngine:
                             fsio.join(idx_dir, name), columns=["term"]
                         )["term"].to_pylist()
                     )
-            allt = self._all_terms = np.array(sorted(terms), dtype=object)
-        lo = np.searchsorted(allt, prefix)
-        hi = np.searchsorted(allt, prefix + "￿")
-        out = allt[lo:hi].tolist()
-        return out[:limit] if limit is not None else out
+            allt = self._all_terms = sorted(terms)
+        from .qparse import prefix_range
+
+        return prefix_range(allt, prefix, limit)
 
     def warm(self, deep: bool = False) -> None:
         """Preload every index partition (term dictionary + block metadata).

@@ -301,15 +301,12 @@ class SegmentEngine:
         shard contributes nothing here), so sharded search_query stays
         equal to the global engine; a per-shard ``limit`` would break that
         and is accepted only for explicit local use."""
+        from .qparse import prefix_range
+
         allt = getattr(self, "_sorted_terms", None)
         if allt is None:
             allt = self._sorted_terms = sorted(self._tables)
-        import bisect
-
-        lo = bisect.bisect_left(allt, prefix)
-        hi = bisect.bisect_left(allt, prefix + "￿")
-        out = allt[lo:hi]
-        return out[:limit] if limit is not None else out
+        return prefix_range(allt, prefix, limit)
 
     def doc_lens(self, docids):
         import numpy as np
